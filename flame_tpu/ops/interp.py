@@ -1,0 +1,92 @@
+"""Bilinear interpolation via vectorized gathers.
+
+Replaces the reference's scalar bilinearInterp template and its SSE4.1
+specialization (/root/reference/src/flame/utils/image_utils.h:231-319) with
+a batched gather formulation: arbitrary batches of (x, y) sample positions
+gather their 4 corner pixels in one XLA gather, so the epipolar-search hot
+path (line_stereo) fuses into a handful of device ops.
+
+Convention matches the reference: the value at integer coordinate (x0, y0)
+is img[y0, x0]; samples must satisfy 0 <= x < W-1 and 0 <= y < H-1 for a
+fully-interior gather (callers clamp, as the reference asserts).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Sample img (H, W) at float positions (x, y) of any batch shape.
+
+    Out-of-range positions are clamped to the valid interior (the reference
+    instead asserts; clamping keeps the op total for masked lanes).
+    """
+    H, W = img.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = (x - x0)[..., None]
+    dy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = img.reshape(-1)
+    idx00 = y0i * W + x0i
+    # Gather the 2x2 neighborhood in one shot: (..., 4).
+    idx = jnp.stack([idx00, idx00 + 1, idx00 + W, idx00 + W + 1], axis=-1)
+    v = flat[idx].astype(jnp.float32)
+
+    w00 = (1 - dx) * (1 - dy)
+    w01 = dx * (1 - dy)
+    w10 = (1 - dx) * dy
+    w11 = dx * dy
+    w = jnp.concatenate([w00, w01, w10, w11], axis=-1)
+    return jnp.sum(v * w, axis=-1)
+
+
+def bilinear_uv(img: jax.Array, uv: jax.Array) -> jax.Array:
+    """bilinear() with stacked (..., 2) positions in (x, y) order."""
+    return bilinear(img, uv[..., 0], uv[..., 1])
+
+
+def bilinear_stack(imgs: jax.Array, frame_idx: jax.Array, x: jax.Array,
+                   y: jax.Array) -> jax.Array:
+    """Sample from a stack of images (F, H, W), selecting image frame_idx per
+    sample. Used when each feature samples its own anchor poseframe's image
+    (reference flame.cc:1691: pfs.at(feat.frame_id)->img_pad).
+    """
+    F, H, W = imgs.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = (x - x0)[..., None]
+    dy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = imgs.reshape(-1)
+    fidx = jnp.clip(frame_idx, 0, F - 1).astype(jnp.int32)
+    base = fidx * (H * W)
+    idx00 = base + y0i * W + x0i
+    idx = jnp.stack([idx00, idx00 + 1, idx00 + W, idx00 + W + 1], axis=-1)
+    v = flat[idx].astype(jnp.float32)
+
+    w00 = (1 - dx) * (1 - dy)
+    w01 = dx * (1 - dy)
+    w10 = (1 - dx) * dy
+    w11 = dx * dy
+    w = jnp.concatenate([w00, w01, w10, w11], axis=-1)
+    return jnp.sum(v * w, axis=-1)
+
+
+def nearest(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Nearest-neighbor lookup with round-half-up, clamped to bounds
+    (reference fast_roundf at flame.cc:749-752)."""
+    H, W = img.shape
+    xi = jnp.clip(jnp.floor(x + 0.5).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.floor(y + 0.5).astype(jnp.int32), 0, H - 1)
+    return img.reshape(-1)[yi * W + xi]

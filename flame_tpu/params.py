@@ -1,0 +1,181 @@
+"""Configuration tree for flame_tpu.
+
+Mirrors the reference's nested parameter structs (a single flat struct with
+nested sub-params: /root/reference/src/flame/params.h:36-143,
+stereo/inverse_depth_filter.h:48-68, stereo/line_stereo.h:47-59,
+stereo/inverse_depth_meas_model.h:44-52,
+optimizers/nltgv2_l1_graph_regularizer.h:121-129) but as frozen dataclasses
+so a Params instance can be closed over by jitted functions (all fields are
+static Python scalars; changing one triggers a recompile, which matches how
+the reference treats params as fixed at construction).
+
+TPU-specific additions: fixed capacities (features/vertices/edges/keyframes)
+that bound every device array, and solver scheduling knobs (smoothing
+iterations per frame replaces the reference's free-running graph thread,
+flame.cc:98-112).
+"""
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class LineStereoParams:
+    """Epipolar line search parameters (reference: line_stereo.h:47-59)."""
+
+    max_cost: float = 1300.0  # Max 5-sample SSD for a valid match.
+    do_subpixel: bool = True  # Subpixel refinement via error-gradient zero crossing.
+    sample_dist: float = 1.0  # Distance in pixels between samples.
+    second_best_factor: float = 1.5  # best*factor must beat second best.
+
+
+@dataclass(frozen=True)
+class MeasModelParams:
+    """LSD-SLAM inverse-depth noise model (reference: inverse_depth_meas_model.h:44-52)."""
+
+    win_size: int = 5  # Window size used for image padding.
+    pixel_var: float = 16.0  # Photometric noise variance (intensity^2).
+    epipolar_line_var: float = 1.0  # Geometric epipolar line noise variance (px^2).
+
+
+@dataclass(frozen=True)
+class FilterParams:
+    """Per-feature inverse-depth filter (reference: inverse_depth_filter.h:48-68)."""
+
+    win_size: int = 5  # Patch size along the epiline (must be 5).
+    search_sigma: float = 2.0  # Search region = mu +/- search_sigma * sigma.
+    min_grad_mag: float = 5.0  # Min |d(ref patch)| to attempt a match.
+    idepth_min: float = 1e-3  # Inverse depth search bounds.
+    idepth_max: float = 2.0
+    epilength_min: float = 3.0  # Epipolar segment length bounds (pixels).
+    epilength_max: float = 32.0
+    process_var_factor: float = 1.01  # Variance inflation per frame.
+    process_fail_var_factor: float = 1.1  # Variance inflation on failed track.
+    sparams: LineStereoParams = dataclasses.field(default_factory=LineStereoParams)
+
+
+@dataclass(frozen=True)
+class RegularizerParams:
+    """NLTGV2-L1 Chambolle-Pock (reference: nltgv2_l1_graph_regularizer.h:121-129)."""
+
+    data_factor: float = 0.1  # lambda in the TV literature.
+    step_x: float = 0.001  # Primal step size.
+    step_q: float = 125.0  # Dual step size.
+    theta: float = 0.25  # Extragradient overrelaxation.
+    x_min: float = 0.0  # Feasible set for the primal variable.
+    x_max: float = 10.0
+
+
+@dataclass(frozen=True)
+class TriangleFilterParams:
+    """Display-mesh triangle filters (reference: params.h:69-85)."""
+
+    do_oblique_filter: bool = True
+    oblique_normal_thresh: float = 1.39626  # 80 deg view-ray/normal angle.
+    oblique_idepth_diff_factor: float = 0.35  # (max-min)/max idepth ratio gate.
+    oblique_idepth_diff_abs: float = 0.1  # absolute (max-min) idepth gate.
+    do_edge_length_filter: bool = True
+    edge_length_thresh: float = 0.333  # Fraction of image width.
+    do_idepth_filter: bool = True
+    min_triangle_idepth: float = 0.01
+
+
+@dataclass(frozen=True)
+class DetectionParams:
+    """Gradient-grid feature detection (reference: params.h:44-53, flame.cc:1192-1262)."""
+
+    continuous: bool = True  # Detect on every poseframe (vs first only).
+    win_size: int = 16  # One feature per win_size x win_size cell.
+    do_letterbox: bool = False  # Restrict to middle third of rows.
+    min_grad_mag: float = 5.0  # Gradient magnitude threshold (params.h:39).
+
+
+@dataclass(frozen=True)
+class SolverParams:
+    """TPU solver scheduling (replaces the free-running graph thread,
+    reference flame.cc:98-112, with a deterministic iteration budget)."""
+
+    n_iters_per_frame: int = 60  # Chambolle-Pock iterations per update().
+    max_vertex_degree: int = 16  # Capacity of the per-vertex incidence table.
+
+
+@dataclass(frozen=True)
+class BAParams:
+    """Windowed bundle adjustment over keyframe poses (new vs reference;
+    internalizes the updatePoseFramePoses/prunePoseFrames contract,
+    reference flame.h:155-174)."""
+
+    window_size: int = 8  # Number of keyframes in the BA window.
+    n_gn_iters: int = 5  # Gauss-Newton iterations per solve.
+    damping: float = 1e-4  # Levenberg-Marquardt damping.
+    huber_delta: float = 2.0  # Huber robust loss width (pixels).
+    obs_capacity: int = 16384  # Fixed observation buffer size.
+
+
+@dataclass(frozen=True)
+class Params:
+    """Top-level parameter struct (reference: params.h:36-143)."""
+
+    # --- Capacities (TPU-specific: bound every device array). ---
+    feature_capacity: int = 4096  # Max live features == max graph vertices.
+    edge_capacity: int = 16384  # Max Delaunay edges (~3V for planar graphs).
+    triangle_capacity: int = 12288  # Max Delaunay triangles (~2V).
+    poseframe_capacity: int = 32  # Max resident poseframes (keyframes).
+
+    # --- Detection. ---
+    min_grad_mag: float = 5.0  # params.h:39
+    do_grad_check_after_projection: bool = False  # params.h:42
+    detection: DetectionParams = dataclasses.field(default_factory=DetectionParams)
+    photo_error_num_pfs: int = 30  # Poseframes considered for cmp-frame scoring.
+
+    # --- Filter / measurement. ---
+    zparams: MeasModelParams = dataclasses.field(default_factory=MeasModelParams)
+    rescale_factor_min: float = 0.7  # params.h:58-59
+    rescale_factor_max: float = 1.4
+    idepth_init: float = 0.01  # params.h:60-62
+    idepth_var_init: float = 0.25
+    idepth_var_max: float = 0.25  # Feature killed above this variance.
+    max_dropouts: int = 5  # Feature killed after this many failed tracks.
+    outlier_sigma_thresh: float = 3.0  # Chi^2 gate on measurements.
+    min_baseline: float = 0.01  # Min baseline to attempt an idepth update.
+    do_meas_fusion: bool = True  # If false, posterior = raw measurement.
+    fparams: FilterParams = dataclasses.field(default_factory=FilterParams)
+
+    # --- Triangle filters. ---
+    tri_filter: TriangleFilterParams = dataclasses.field(
+        default_factory=TriangleFilterParams)
+
+    # --- Regularizer. ---
+    min_height: float = 0.1  # World-height gate for graph membership (params.h:88-89).
+    max_height: float = 4.0
+    idepth_var_max_graph: float = 1e-2  # Max feature var to enter the graph.
+    adaptive_data_weights: bool = False  # weight = 1/var instead of 1.
+    init_with_prediction: bool = False  # Init new vertices from dense map.
+    check_sticky_obstacles: bool = False  # Reset x if sucked toward camera.
+    do_nltgv2: bool = True
+    rparams: RegularizerParams = dataclasses.field(default_factory=RegularizerParams)
+    solver: SolverParams = dataclasses.field(default_factory=SolverParams)
+
+    # --- Bundle adjustment (new). ---
+    do_ba: bool = False
+    ba: BAParams = dataclasses.field(default_factory=BAParams)
+
+    # --- Debug / observability. ---
+    debug_quiet: bool = True
+    scene_color_scale: float = 1.0
+
+    # Image dtype on device.
+    compute_dtype: str = "float32"
+
+    def replace(self, **kwargs) -> "Params":
+        return dataclasses.replace(self, **kwargs)
+
+    @property
+    def border(self) -> int:
+        """Valid-region border: rescale_factor_max * win/2 + 1 (flame.cc:1576)."""
+        return int(self.rescale_factor_max * self.fparams.win_size / 2 + 1)
+
+    @property
+    def pad(self) -> int:
+        """Image padding width = filter window size (flame.cc:149)."""
+        return self.fparams.win_size

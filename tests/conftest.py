@@ -1,0 +1,36 @@
+"""Test configuration: force an 8-device CPU platform before JAX initializes.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding code paths
+compile and execute without TPU hardware. Benchmarks (bench.py) run on the
+real chip instead.
+"""
+
+import os
+
+# Must happen before jax initializes its backends. NOTE: the environment may
+# export JAX_PLATFORMS=axon (a tunneled TPU); the jax.config.update below is
+# what reliably forces CPU — the env var alone is not sufficient here.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: compile costs on this host are high (~0.5s
+# per unique op); cache across test runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)
