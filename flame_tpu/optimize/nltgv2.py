@@ -1,0 +1,305 @@
+"""NLTGV2-L1 variational smoothing on padded edge-list graphs.
+
+TPU-native re-design of the reference's Chambolle-Pock primal-dual solver
+over a Boost adjacency_list
+(/root/reference/src/flame/optimizers/nltgv2_l1_graph_regularizer.cc).
+
+The energy (see the reference's header docs) is
+
+    min_x  data_factor * NLTGV2(x, w1, w2) + sum_v weight_v |x_v - data_v|
+
+where NLTGV2 couples per-vertex primal state (x, w1, w2) along graph edges
+with per-edge dual state (q1, q2, q3). One iteration = dual ascent with a
+unit-ball projection, primal descent via edge-scatter, an L1 proximal step
+on the data term, and a theta-overrelaxed extragradient
+(reference .cc:33-174, reproduced op-for-op).
+
+Instead of hash-map graph surgery, the graph lives in fixed-capacity
+structure-of-arrays: vertices [V] with a validity mask, edges [E, 2] of
+int32 slot indices with a validity mask. Invalid edges are parked on
+vertex 0 with zero weights so they contribute exactly nothing. Two primal
+scatter implementations are provided:
+
+  * segment-sum (reference implementation, always correct), and
+  * incidence-gather: a host-built [V, D] table of incident edge ids +
+    signs turns the scatter into pure gathers — the TPU-friendly fast
+    path (gathers vectorize; scatters serialize). `smooth()` picks
+    incidence when the table is present.
+
+`smooth()` runs K iterations inside one jit/fori_loop — the deterministic
+replacement for the reference's free-running graph thread
+(flame.cc:98-112).
+"""
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flame_tpu.params import RegularizerParams
+
+
+class GraphState(NamedTuple):
+    """Fixed-capacity SoA graph (reference VertexData/EdgeData,
+    nltgv2_l1_graph_regularizer.h:74-102)."""
+
+    # Vertex arrays [V].
+    pos: jax.Array  # (V, 2) pixel positions
+    x: jax.Array  # primal
+    w1: jax.Array
+    w2: jax.Array
+    x_bar: jax.Array  # extragradient
+    w1_bar: jax.Array
+    w2_bar: jax.Array
+    data_term: jax.Array
+    data_weight: jax.Array
+    vtx_mask: jax.Array  # bool
+
+    # Edge arrays [E].
+    edges: jax.Array  # (E, 2) int32 endpoint slots (0 when invalid)
+    alpha: jax.Array  # 1/edge_length (0 when invalid)
+    beta: jax.Array  # 1.0 (0 when invalid)
+    q1: jax.Array  # duals
+    q2: jax.Array
+    q3: jax.Array
+    edge_mask: jax.Array  # bool
+
+    # Optional incidence table [V, D] for the gather-based primal step.
+    inc_edge: Optional[jax.Array] = None  # int32 edge ids (0 pad)
+    inc_sign: Optional[jax.Array] = None  # +1 src, -1 dst, 0 pad
+
+
+def empty(v_capacity: int, e_capacity: int, degree: int = 0) -> GraphState:
+    z = jnp.zeros(v_capacity, jnp.float32)
+    ze = jnp.zeros(e_capacity, jnp.float32)
+    inc_edge = (jnp.zeros((v_capacity, degree), jnp.int32)
+                if degree else None)
+    inc_sign = (jnp.zeros((v_capacity, degree), jnp.float32)
+                if degree else None)
+    return GraphState(
+        pos=jnp.zeros((v_capacity, 2), jnp.float32),
+        x=z, w1=z, w2=z, x_bar=z, w1_bar=z, w2_bar=z,
+        data_term=z, data_weight=z,
+        vtx_mask=jnp.zeros(v_capacity, bool),
+        edges=jnp.zeros((e_capacity, 2), jnp.int32),
+        alpha=ze, beta=ze, q1=ze, q2=ze, q3=ze,
+        edge_mask=jnp.zeros(e_capacity, bool),
+        inc_edge=inc_edge, inc_sign=inc_sign)
+
+
+def build_incidence(edges: np.ndarray, edge_mask: np.ndarray,
+                    n_vertices: int, max_degree: int):
+    """Host-side: build the per-vertex incident-edge table.
+
+    edges: (E, 2) int; edge_mask: (E,) bool. Returns (inc_edge (V, D) int32,
+    inc_sign (V, D) float32). Overflow beyond max_degree is dropped (planar
+    Delaunay degree rarely exceeds ~10; choose D with headroom).
+    """
+    V, D = n_vertices, max_degree
+    inc_edge = np.zeros((V, D), np.int32)
+    inc_sign = np.zeros((V, D), np.float32)
+    fill = np.zeros(V, np.int32)
+    eidx = np.nonzero(edge_mask)[0]
+    for e in eidx:
+        i, j = edges[e]
+        if fill[i] < D:
+            inc_edge[i, fill[i]] = e
+            inc_sign[i, fill[i]] = 1.0
+            fill[i] += 1
+        if fill[j] < D:
+            inc_edge[j, fill[j]] = e
+            inc_sign[j, fill[j]] = -1.0
+            fill[j] += 1
+    return inc_edge, inc_sign
+
+
+# ---------------------------------------------------------------------------
+# One Chambolle-Pock iteration.
+# ---------------------------------------------------------------------------
+
+
+def _prox_nltgv2_conj(q):
+    """Project duals onto the unit ball (reference .h:171-176)."""
+    absq = jnp.abs(q)
+    return q / jnp.maximum(absq, 1.0)
+
+
+def _prox_l1(x_min, x_max, step_x, weight, x, data):
+    """Soft-threshold toward the data term, clamped to the feasible set
+    (reference .h:179-197)."""
+    diff = x - data
+    thresh = step_x * weight
+    new_x = jnp.where(diff > thresh, x - thresh,
+                      jnp.where(diff < -thresh, x + thresh, data))
+    return jnp.clip(new_x, x_min, x_max)
+
+
+def _dual_step(p: RegularizerParams, g: GraphState):
+    ii = g.edges[:, 0]
+    jj = g.edges[:, 1]
+    dx = g.pos[ii, 0] - g.pos[jj, 0]
+    dy = g.pos[ii, 1] - g.pos[jj, 1]
+
+    K1x = g.alpha * (g.x_bar[ii] - g.x_bar[jj]
+                     - dx * g.w1_bar[ii] - dy * g.w2_bar[ii])
+    K2x = g.beta * (g.w1_bar[ii] - g.w1_bar[jj])
+    K3x = g.beta * (g.w2_bar[ii] - g.w2_bar[jj])
+
+    q1 = _prox_nltgv2_conj(g.q1 + p.step_q * K1x)
+    q2 = _prox_nltgv2_conj(g.q2 + p.step_q * K2x)
+    q3 = _prox_nltgv2_conj(g.q3 + p.step_q * K3x)
+
+    m = g.edge_mask
+    return g._replace(q1=jnp.where(m, q1, 0.0),
+                      q2=jnp.where(m, q2, 0.0),
+                      q3=jnp.where(m, q3, 0.0))
+
+
+def _primal_edge_terms(p: RegularizerParams, g: GraphState):
+    """Per-edge primal-descent deltas (reference .cc:116-142)."""
+    ii = g.edges[:, 0]
+    jj = g.edges[:, 1]
+    dx = g.pos[ii, 0] - g.pos[jj, 0]
+    dy = g.pos[ii, 1] - g.pos[jj, 1]
+    sxa = p.step_x * g.alpha
+    sxb = p.step_x * g.beta
+    # Contributions: (to source vertex ii, to target vertex jj).
+    d_x_i = -g.q1 * sxa
+    d_x_j = g.q1 * sxa
+    d_w1_i = g.q1 * sxa * dx - g.q2 * sxb
+    d_w1_j = g.q2 * sxb
+    d_w2_i = g.q1 * sxa * dy - g.q3 * sxb
+    d_w2_j = g.q3 * sxb
+    return ii, jj, d_x_i, d_x_j, d_w1_i, d_w1_j, d_w2_i, d_w2_j
+
+
+def _primal_step_segment(p: RegularizerParams, g: GraphState) -> GraphState:
+    """Primal descent via segment-sum scatter (reference semantics)."""
+    V = g.x.shape[0]
+    ii, jj, d_x_i, d_x_j, d_w1_i, d_w1_j, d_w2_i, d_w2_j = \
+        _primal_edge_terms(p, g)
+
+    seg = functools.partial(jax.ops.segment_sum, num_segments=V)
+    x = g.x + seg(d_x_i, ii) + seg(d_x_j, jj)
+    w1 = g.w1 + seg(d_w1_i, ii) + seg(d_w1_j, jj)
+    w2 = g.w2 + seg(d_w2_i, ii) + seg(d_w2_j, jj)
+
+    x = _prox_l1(p.x_min, p.x_max, p.step_x,
+                 p.data_factor * g.data_weight, x, g.data_term)
+    m = g.vtx_mask
+    return g._replace(x=jnp.where(m, x, g.x),
+                      w1=jnp.where(m, w1, g.w1),
+                      w2=jnp.where(m, w2, g.w2))
+
+
+def _primal_step_incidence(p: RegularizerParams, g: GraphState) -> GraphState:
+    """Primal descent via the [V, D] incidence gather (TPU fast path).
+
+    For vertex v and incident edge e with sign s (+1 if v is the edge's
+    source, -1 if target):
+      x  += -s * q1 * step_x * alpha
+      w1 += (s>0) * q1 * step_x * alpha * dx - s * q2 * step_x * beta
+      w2 += (s>0) * q1 * step_x * alpha * dy - s * q3 * step_x * beta
+    which reproduces the reference's source/target asymmetry exactly.
+    """
+    e = g.inc_edge  # (V, D)
+    s = g.inc_sign  # (V, D)
+    is_src = s > 0
+
+    ii = g.edges[:, 0]
+    jj = g.edges[:, 1]
+    dx_e = g.pos[ii, 0] - g.pos[jj, 0]  # (E,)
+    dy_e = g.pos[ii, 1] - g.pos[jj, 1]
+
+    q1 = g.q1[e]
+    q2 = g.q2[e]
+    q3 = g.q3[e]
+    sxa = p.step_x * g.alpha[e]
+    sxb = p.step_x * g.beta[e]
+    dx = dx_e[e]
+    dy = dy_e[e]
+
+    d_x = -s * q1 * sxa
+    d_w1 = jnp.where(is_src, q1 * sxa * dx, 0.0) - s * q2 * sxb
+    d_w2 = jnp.where(is_src, q1 * sxa * dy, 0.0) - s * q3 * sxb
+
+    x = g.x + d_x.sum(axis=1)
+    w1 = g.w1 + d_w1.sum(axis=1)
+    w2 = g.w2 + d_w2.sum(axis=1)
+
+    x = _prox_l1(p.x_min, p.x_max, p.step_x,
+                 p.data_factor * g.data_weight, x, g.data_term)
+    m = g.vtx_mask
+    return g._replace(x=jnp.where(m, x, g.x),
+                      w1=jnp.where(m, w1, g.w1),
+                      w2=jnp.where(m, w2, g.w2))
+
+
+def _extragradient_step(p: RegularizerParams, g: GraphState,
+                        x_prev, w1_prev, w2_prev) -> GraphState:
+    """Theta-overrelaxation; x_bar clamped to the feasible set, w bars not
+    (reference .cc:156-174)."""
+    x_bar = jnp.clip(g.x + p.theta * (g.x - x_prev), p.x_min, p.x_max)
+    w1_bar = g.w1 + p.theta * (g.w1 - w1_prev)
+    w2_bar = g.w2 + p.theta * (g.w2 - w2_prev)
+    return g._replace(x_bar=x_bar, w1_bar=w1_bar, w2_bar=w2_bar)
+
+
+def step(p: RegularizerParams, g: GraphState,
+         use_incidence: bool = False) -> GraphState:
+    """One full Chambolle-Pock iteration (reference .cc:33-49)."""
+    x_prev, w1_prev, w2_prev = g.x, g.w1, g.w2
+    g = _dual_step(p, g)
+    if use_incidence:
+        g = _primal_step_incidence(p, g)
+    else:
+        g = _primal_step_segment(p, g)
+    return _extragradient_step(p, g, x_prev, w1_prev, w2_prev)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "n_iters", "use_incidence"))
+def smooth(p: RegularizerParams, g: GraphState, n_iters: int,
+           use_incidence: bool = False) -> GraphState:
+    """Run n_iters iterations fused into one XLA computation."""
+    def body(_, gg):
+        return step(p, gg, use_incidence=use_incidence)
+    return jax.lax.fori_loop(0, n_iters, body, g)
+
+
+# ---------------------------------------------------------------------------
+# Cost diagnostics (reference .cc:51-85).
+# ---------------------------------------------------------------------------
+
+
+def smoothness_cost(p: RegularizerParams, g: GraphState) -> jax.Array:
+    ii = g.edges[:, 0]
+    jj = g.edges[:, 1]
+    dx = g.pos[ii, 0] - g.pos[jj, 0]
+    dy = g.pos[ii, 1] - g.pos[jj, 1]
+    c = (g.alpha * jnp.abs(g.x[ii] - g.x[jj]
+                           - g.w1[ii] * dx - g.w2[ii] * dy)
+         + g.beta * jnp.abs(g.w1[ii] - g.w1[jj])
+         + g.beta * jnp.abs(g.w2[ii] - g.w2[jj]))
+    return p.data_factor * jnp.sum(jnp.where(g.edge_mask, c, 0.0))
+
+
+def data_cost(p: RegularizerParams, g: GraphState) -> jax.Array:
+    c = jnp.abs((g.x - g.data_term) * g.data_weight)
+    return jnp.sum(jnp.where(g.vtx_mask, c, 0.0))
+
+
+def total_cost(p: RegularizerParams, g: GraphState) -> jax.Array:
+    """Reference-parity diagnostic: data_factor * raw_smoothness + raw_data
+    (the quantity the reference logs, flame.cc:2172-2177). NOTE this is NOT
+    the minimized functional — see energy()."""
+    return smoothness_cost(p, g) + data_cost(p, g)
+
+
+def energy(p: RegularizerParams, g: GraphState) -> jax.Array:
+    """The functional the Chambolle-Pock iteration actually minimizes:
+    raw NLTGV2 smoothness + data_factor * weighted-L1 data term (the proxL1
+    threshold is step_x * data_factor * weight, reference .cc:149-150, so
+    data_factor multiplies the data term, not the smoothness)."""
+    return smoothness_cost(p, g) / p.data_factor + p.data_factor * data_cost(p, g)
