@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""flame_tpu benchmark: dense mesh estimation throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "vga_dense_fps_per_chip", "value": N, "unit": "frames/sec",
+   "vs_baseline": N / 100}
+
+The baseline is the north-star target of 100 fps/chip for VGA dense mesh
+estimation (BASELINE.md: the reference publishes no numbers; its README
+claims real-time CPU operation only). Runs on whatever jax.devices()[0] is
+(the tunneled TPU under the driver; CPU as fallback).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    import jax.numpy as jnp
+    from flame_tpu.core.flame import Flame
+    from flame_tpu.geometry import se3, camera
+    from flame_tpu.params import Params, DetectionParams, SolverParams
+
+    # VGA synthetic scene: textured plane at 5m, sideways translation.
+    W, H = 640, 480
+    FX = 525.0
+    PLANE_Z = 5.0
+
+    def tex(X, Y):
+        # World-to-pixel scale at VGA is Z/fx ~ 0.0095; frequencies chosen
+        # so image gradients clear the detection threshold (>= 5/px).
+        return (128 + 60 * np.sin(21.0 * X + 4.5 * Y)
+                + 35 * np.cos(8.7 * X) + 18 * np.sin(11.6 * Y)
+                + 10 * np.sin(4.2 * X))
+
+    vv, uu = np.mgrid[0:H, 0:W].astype(np.float64)
+
+    def render(cam_x):
+        X = (uu - W / 2) * PLANE_Z / FX + cam_x
+        Y = (vv - H / 2) * PLANE_Z / FX
+        return tex(X, Y).astype(np.float32)
+
+    params = Params(
+        feature_capacity=4096, edge_capacity=16384, triangle_capacity=12288,
+        poseframe_capacity=16,
+        min_height=-1e6, max_height=1e6,
+        idepth_init=0.05,
+        detection=DetectionParams(win_size=16),
+        solver=SolverParams(n_iters_per_frame=60, max_vertex_degree=16),
+        debug_quiet=True)
+
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+    Kinv = camera.inv_k(K)
+    fl = Flame(W, H, K, Kinv, params)
+
+    # Pre-render frames so host rendering is off the clock.
+    n_warm, n_meas = 8, 24
+    frames = [render(0.08 * i) for i in range(n_warm + n_meas)]
+
+    def pose(i):
+        return (se3.quat_identity(), jnp.array([0.08 * i, 0.0, 0.0]))
+
+    for i in range(n_warm):
+        fl.update(i * 0.1, i, pose(i), frames[i], i % 2 == 0)
+
+    t0 = time.perf_counter()
+    for i in range(n_warm, n_warm + n_meas):
+        fl.update(i * 0.1, i, pose(i), frames[i], i % 2 == 0)
+    jax.block_until_ready(fl._idepthmap)
+    dt = time.perf_counter() - t0
+
+    fps = n_meas / dt
+    cov = float(np.mean(~np.isnan(fl.get_inverse_depth_map())))
+    idm = fl.get_inverse_depth_map()
+    err = np.abs(idm[~np.isnan(idm)] - 1.0 / PLANE_Z) * PLANE_Z
+
+    result = {
+        "metric": "vga_dense_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 100.0, 4),
+    }
+    print(json.dumps(result))
+
+    if os.environ.get("BENCH_VERBOSE"):
+        extra = {
+            "coverage": round(cov, 3),
+            "median_rel_depth_err": round(float(np.median(err)), 4),
+            "n_feats": int(np.asarray(fl._feats.valid).sum()),
+            "device": str(jax.devices()[0]),
+            "timings_ms": {k: round(v, 2) for k, v in
+                           fl.stats.snapshot()["timings_ms"].items()},
+        }
+        print(json.dumps(extra), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,7 +1,537 @@
-"""Flame orchestrator (placeholder — full implementation lands with the
-core pipeline milestone)."""
+"""Flame: the whole-pipeline orchestrator.
+
+TPU-native re-design of the reference's Flame class
+(/root/reference/src/flame/flame.h:123-309, flame.cc:44-552): per-frame
+dense inverse-depth mesh estimation from a posed monocular stream.
+
+Where the reference runs three threads (update / detection / free-running
+graph smoothing) over mutex-guarded mutable state, this orchestrator is a
+host loop around four jitted device steps with fixed-capacity SoA state:
+
+  1. track_project_sync — feature tracking, measurement, fusion, projection,
+     graph-membership gating (one fused jit over all feature slots).
+  2. host Delaunay over the member features (the only host compute) +
+     edge-array construction with dual-variable carry-over.
+  3. graph_sync + K NLTGV2 smoothing iterations (deterministic iteration
+     budget replaces the free-running graph thread, flame.cc:98-112).
+  4. mesh extraction: vertex idepths/normals, triangle filters, dense
+     rasterization.
+
+Detection runs synchronously on poseframes but its results are staged and
+drained at the next update, reproducing the reference's detection-thread
+timing (flame.cc:708-773 vs :250-260).
+"""
+
+import math
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flame_tpu.geometry import se3, epipolar
+from flame_tpu.mesh import delaunay, filters
+from flame_tpu.optimize import nltgv2
+from flame_tpu.ops import rasterize
+from flame_tpu.params import Params
+from flame_tpu.core import detection, frame as frame_mod, keyframe, pipeline
+from flame_tpu.utils.stats import StatsTracker
+
+# Jitted two-view geometry construction (eager SE(3)+matmul chains cost
+# dozens of per-op dispatches through the device tunnel).
+_load_rel = jax.jit(epipolar.load_relative)
 
 
-class Flame:  # pragma: no cover - stub
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError("core pipeline lands in a later milestone")
+class Flame:
+    """Dense inverse-depth mesh estimation (reference flame.h:96)."""
+
+    def __init__(self, width: int, height: int, K, Kinv, params: Params = None):
+        self.params = params or Params()
+        p = self.params
+        self.width = width
+        self.height = height
+        self.K = jnp.asarray(K, jnp.float32)
+        self.Kinv = jnp.asarray(Kinv, jnp.float32)
+
+        self.stats = StatsTracker()
+        self.inited = False
+        self.num_imgs = 0
+        self.num_data_updates = 0
+        self.num_regularizer_updates = 0
+        self.graph_scale = 1.0
+
+        N, E, T = p.feature_capacity, p.edge_capacity, p.triangle_capacity
+        self._stack = frame_mod.empty_stack(p.poseframe_capacity, height,
+                                            width, p.pad)
+        self._feats = pipeline.empty_features(N)
+        self._curr = pipeline.CurrFeatures(
+            xy=jnp.zeros((N, 2), jnp.float32), idepth=jnp.zeros(N),
+            var=jnp.zeros(N), valid=jnp.zeros(N, bool))
+        self._graph = nltgv2.empty(N, E, p.solver.max_vertex_degree)
+        self._tris = jnp.zeros((T, 3), jnp.int32)
+        self._tri_mask = jnp.zeros((T,), bool)
+        self._tri_validity = jnp.zeros((T,), bool)
+        self._vtx_idepths = jnp.zeros((N,), jnp.float32)
+        self._vtx_normals = jnp.zeros((N, 3), jnp.float32)
+        self._idepthmap = jnp.full((height, width), jnp.nan, jnp.float32)
+        self._edges_np = np.zeros((E, 2), np.int64)
+        self._n_edges = 0
+        self._n_tris = 0
+
+        # Host bookkeeping. Mirrors avoid per-frame blocking device reads
+        # (each one costs a full round trip through the device tunnel).
+        self._edge_codes = None  # sorted pair codes of the live edge set
+        self._edge_slots = None  # edge slot per sorted code
+        self._feat_valid_np = np.zeros(N, bool)  # host mirror of feats.valid
+        self._n_valid = 0
+        self._feat_id_counter = 0  # globally-unique feature id allocator
+        self._pf_free = list(range(p.poseframe_capacity))
+        self._coverage = None  # device scalar, fetched lazily
+        self._pf_slot_by_id: Dict[int, int] = {}
+        self._curr_pf_slot: Optional[int] = None
+        self._fnew = None
+        self._fprev = None
+        self._pending: list = []  # staged detections: (xy np, pf_slot)
+        self._last_stats_dev = jnp.zeros(pipeline.N_STATS, jnp.int32)
+        self._last_track_obs = None
+
+        # Detection grid dims.
+        self._cy = -(-height // p.detection.win_size)
+        self._cx = -(-width // p.detection.win_size)
+        self._add_cap = self._cy * self._cx
+
+        # Optional internal windowed BA (beyond the reference, which
+        # assumes an external estimator).
+        self._ba = None
+        if p.do_ba:
+            from flame_tpu.ba.window import BundleAdjuster
+            self._ba = BundleAdjuster(p.ba, self.K, self.Kinv)
+
+    # ------------------------------------------------------------------
+    # Main entry point (reference flame.cc:127-552).
+    # ------------------------------------------------------------------
+
+    def update(self, time: float, frame_id: int, pose, img,
+               is_poseframe: bool) -> bool:
+        """Process one posed image. pose = (q wxyz, t) camera-to-world."""
+        p = self.params
+        self.stats.tick("update")
+
+        q, t = pose
+        q = jnp.asarray(q, jnp.float32)
+        t = jnp.asarray(t, jnp.float32)
+
+        self.stats.tick("frame_creation")
+        self._fprev = self._fnew
+        self._fnew = frame_mod.create(frame_id, q, t, jnp.asarray(img), p.pad)
+        self.stats.tock("frame_creation")
+
+        if is_poseframe:
+            slot = self._alloc_pf_slot(frame_id)
+            self._stack = frame_mod.insert(self._stack, slot, self._fnew)
+            self._pf_slot_by_id[frame_id] = slot
+            self._curr_pf_slot = slot
+
+        self.num_imgs += 1
+        if self.num_imgs < 2 or self._curr_pf_slot is None:
+            self.stats.tock("update")
+            return False
+
+        # Bootstrap detection (reference flame.cc:174-242): first poseframe
+        # with no features yet.
+        if (not self.inited and is_poseframe and self._n_valid == 0
+                and not self._pending):
+            self._detect_on_poseframe(self._curr_pf_slot)
+
+        # Drain staged detections (reference new_feats_ drain :250-260).
+        self._drain_pending()
+
+        if self._n_valid == 0:
+            self.stats.tock("update")
+            return False
+
+        # --- Track + measure + fuse + project + gate (device). ---
+        self.stats.tick("update_idepths")
+        feats, curr, member, stat_vec, track_obs = pipeline.track_project_sync(
+            p, self.K, self.Kinv, self._stack, self._feats, self._fnew,
+            self._curr_pf_slot)
+        self._feats = feats
+        self._curr = curr
+        self._last_track_obs = track_obs
+        self._last_stats_dev = stat_vec  # fetched lazily by failure_stats()
+        self.stats.tock("update_idepths")
+
+        # One packed device->host transfer for everything the host needs.
+        packed = np.asarray(pipeline.pack_track_outputs(feats, curr, member))
+        curr_xy_np = packed[:, :2]
+        member_np = packed[:, 2] > 0
+        self._feat_valid_np = packed[:, 4] > 0
+        self._n_valid = int(self._feat_valid_np.sum())
+
+        n_valid = int((packed[:, 3] > 0).sum())
+        if n_valid < 3:
+            if not p.debug_quiet:
+                print(f"flame_tpu: too few features ({n_valid}); clearing")
+            self.clear()
+            self.stats.tock("update")
+            return False
+
+        # --- Host Delaunay over graph members (reference syncGraph
+        # :2051-2073 + triangulate :2190-2205). ---
+        self.stats.tick("triangulate")
+        member_slots = np.nonzero(member_np)[0]
+        if member_slots.shape[0] < 3:
+            self.stats.tock("triangulate")
+            self.stats.tock("update")
+            return False
+        tri = delaunay.triangulate(curr_xy_np[member_slots])
+        self.stats.tock("triangulate")
+
+        # --- Edge arrays in slot space with dual carry-over. ---
+        self.stats.tick("sync_graph")
+        tris_slots = member_slots[tri.triangles]  # (T, 3)
+        edges_slots = member_slots[tri.edges]  # (E, 2)
+        self._build_graph_arrays(tris_slots, edges_slots, curr_xy_np)
+
+        # After a checkpoint restore _fprev can be missing for one frame;
+        # identity geometry makes the graph x-projection a no-op.
+        fprev = self._fprev if self._fprev is not None else self._fnew
+        geo_p2n = _load_rel(self.K, self.Kinv,
+                            (fprev.q, fprev.t), (self._fnew.q, self._fnew.t))
+
+        self._graph = pipeline.graph_sync(
+            p, self.K, self.Kinv, self._graph, self._graph.vtx_mask, member,
+            curr, geo_p2n, jnp.float32(self.graph_scale),
+            self._edges_dev, self._alpha_dev, self._edge_mask_dev,
+            self._carry_dev, self._inc_edge_dev, self._inc_sign_dev)
+        self.stats.tock("sync_graph")
+
+        # --- Smoothing (reference graph thread; here a fixed budget). ---
+        if p.do_nltgv2:
+            self.stats.tick("regularize")
+            self._graph = nltgv2.smooth(p.rparams, self._graph,
+                                        p.solver.n_iters_per_frame,
+                                        use_incidence=True)
+            self.num_regularizer_updates += p.solver.n_iters_per_frame
+            self.stats.tock("regularize")
+        else:
+            self._graph = self._graph._replace(
+                x=self._graph.data_term)
+
+        # --- Mesh outputs: one fused dispatch (reference flame.cc:353-415).
+        self.stats.tick("interpolate")
+        (self._vtx_idepths, self._vtx_normals, self._tri_validity,
+         self._idepthmap) = pipeline.mesh_outputs(
+            p, self.K, self.Kinv, self.width, self.height, self._graph,
+            self._tris, self._tri_mask, jnp.float32(self.graph_scale))
+        self.stats.tock("interpolate")
+
+        if is_poseframe:
+            self._stack = frame_mod.set_idepthmap(
+                self._stack, self._curr_pf_slot, self._idepthmap)
+            if p.detection.continuous or self.num_data_updates < 1:
+                self.stats.tick("detection")
+                self._detect_on_poseframe(self._curr_pf_slot)
+                self.stats.tock("detection")
+            if self._ba is not None:
+                self.stats.tick("ba")
+                self._ba.ingest(self, track_obs, frame_id)
+                if len(self._pf_slot_by_id) >= 3:
+                    self._ba.solve(self)
+                self.stats.tock("ba")
+
+        # Stats (reference flame.cc:428-437, 513-539). Coverage lives on
+        # device and is fetched lazily (see coverage()).
+        self._coverage = jnp.mean((~jnp.isnan(self._idepthmap))
+                                  .astype(jnp.float32))
+        self.stats.set("num_feats", self._n_valid)
+        self.stats.set("num_vtx", int(member_np.sum()))
+        self.stats.set("num_tris", int(self._n_tris))
+        self.stats.set("num_edges", int(self._n_edges))
+
+        ms = self.stats.tock("update")
+        if ms > 0:
+            self.stats.ema("fps_max", 1000.0 / ms)
+
+        self.inited = True
+        self.num_data_updates += 1
+        return True
+
+    # ------------------------------------------------------------------
+    # Host helpers.
+    # ------------------------------------------------------------------
+
+    def _alloc_pf_slot(self, frame_id: int) -> int:
+        if self._pf_free:
+            return self._pf_free.pop()
+        # Auto-evict the oldest poseframe (the external BA layer normally
+        # prunes; the reference relies on prunePoseFrames, flame.cc:554-706).
+        live = sorted(self._pf_slot_by_id.keys())
+        self.prune_poseframes(live[1:])
+        return self._pf_free.pop()
+
+    def coverage(self) -> float:
+        """Fraction of pixels covered by the dense idepthmap
+        (reference flame.cc:428-437)."""
+        return float(self._coverage) if self._coverage is not None else 0.0
+
+    def _build_graph_arrays(self, tris_slots, edges_slots, curr_xy_np):
+        """Pad triangles/edges into capacity arrays; carry duals for edges
+        whose (i, j) pair survived retriangulation."""
+        p = self.params
+        E_cap, T_cap = p.edge_capacity, p.triangle_capacity
+        N = p.feature_capacity
+
+        # Normalize pairs (i < j).
+        e = np.sort(edges_slots.astype(np.int64), axis=1)
+        if e.shape[0] > E_cap:
+            e = e[:E_cap]
+        if tris_slots.shape[0] > T_cap:
+            tris_slots = tris_slots[:T_cap]
+
+        # Dual carry-over via sorted pair codes (vectorized dict lookup).
+        codes = e[:, 0] * N + e[:, 1]
+        carry = np.full(E_cap, -1, np.int32)
+        if self._edge_codes is not None and codes.shape[0] > 0:
+            pos = np.searchsorted(self._edge_codes, codes)
+            pos_c = np.minimum(pos, self._edge_codes.shape[0] - 1)
+            match = self._edge_codes[pos_c] == codes
+            carry[: codes.shape[0]] = np.where(
+                match, self._edge_slots[pos_c], -1)
+        order = np.argsort(codes, kind="stable")
+        self._edge_codes = codes[order]
+        self._edge_slots = np.arange(codes.shape[0], dtype=np.int32)[order]
+
+        edges_full = np.zeros((E_cap, 2), np.int32)
+        edges_full[:e.shape[0]] = e
+        emask = np.zeros(E_cap, bool)
+        emask[:e.shape[0]] = True
+        lengths = np.linalg.norm(
+            curr_xy_np[edges_full[:, 0]] - curr_xy_np[edges_full[:, 1]],
+            axis=1)
+        alpha = np.where(lengths > 1e-6, 1.0 / np.maximum(lengths, 1e-6), 0.0)
+
+        inc_edge, inc_sign = nltgv2.build_incidence(edges_full, emask, N,
+                                                    p.solver.max_vertex_degree)
+
+        tris_full = np.zeros((T_cap, 3), np.int32)
+        tris_full[:tris_slots.shape[0]] = tris_slots
+        tmask = np.zeros(T_cap, bool)
+        tmask[:tris_slots.shape[0]] = True
+
+        self._edges_np = edges_full
+        self._n_edges = e.shape[0]
+        self._n_tris = tris_slots.shape[0]
+        self._edges_dev = jnp.asarray(edges_full)
+        self._alpha_dev = jnp.asarray(alpha.astype(np.float32))
+        self._edge_mask_dev = jnp.asarray(emask)
+        self._carry_dev = jnp.asarray(carry)
+        self._inc_edge_dev = jnp.asarray(inc_edge)
+        self._inc_sign_dev = jnp.asarray(inc_sign)
+        self._tris = jnp.asarray(tris_full)
+        self._tri_mask = jnp.asarray(tmask)
+
+    def _detect_on_poseframe(self, pf_slot: int):
+        """Run grid detection on a poseframe vs the previous frame, staging
+        winners for the next update (reference detectFeatures
+        flame.cc:822-1278 via the detection thread)."""
+        p = self.params
+        if self._fprev is None:
+            return
+        # Geometry from the poseframe (== fnew when called) to fprev.
+        geo = _load_rel(self.K, self.Kinv,
+                        (self._stack.q[pf_slot], self._stack.t[pf_slot]),
+                        (self._fprev.q, self._fprev.t))
+        row_offset = self.height // 3 if p.detection.do_letterbox else 0
+        # One fused dispatch + one transfer.
+        out = np.asarray(detection.detect_packed(
+            geo, self._stack.gradx[pf_slot], self._stack.grady[pf_slot],
+            self._curr.xy, self._curr.valid, p.detection.min_grad_mag,
+            p.detection.win_size, p.border, row_offset))
+        take = out[:, 2] > 0
+        if not take.any():
+            return
+        self._pending.append((out[take, :2].astype(np.float32), pf_slot))
+
+    def _drain_pending(self):
+        if not self._pending:
+            return
+        p = self.params
+        free = np.nonzero(~self._feat_valid_np)[0]
+        for xy, pf_slot in self._pending:
+            if free.shape[0] == 0:
+                break
+            n = min(xy.shape[0], free.shape[0], self._add_cap)
+            slots = np.zeros(self._add_cap, np.int32)
+            slots[:n] = free[:n]
+            self._feat_valid_np[free[:n]] = True
+            self._n_valid += n
+            free = free[n:]
+            use = np.zeros(self._add_cap, bool)
+            use[:n] = True
+            xy_pad = np.zeros((self._add_cap, 2), np.float32)
+            xy_pad[:n] = xy[:n]
+
+            mu, var = pipeline.seed_new_features(
+                jnp.asarray(xy_pad), self._stack.idepthmap[pf_slot],
+                p.idepth_init, p.idepth_var_init, self._add_cap)
+            self._feats = pipeline.add_features(
+                self._feats, jnp.asarray(slots), jnp.asarray(xy_pad),
+                pf_slot, mu, var, jnp.asarray(use), self._feat_id_counter)
+            self._feat_id_counter += self._add_cap
+        self._pending = []
+
+    # ------------------------------------------------------------------
+    # Map maintenance (reference flame.h:155-179, flame.cc:554-706).
+    # ------------------------------------------------------------------
+
+    def update_poseframe_poses(self, poses: Dict[int, Tuple]):
+        """External pose updates (e.g. from BA / pose-graph relinearization);
+        reference updatePoseFramePoses (flame.h:155-164)."""
+        for fid, (q, t) in poses.items():
+            slot = self._pf_slot_by_id.get(fid)
+            if slot is not None:
+                self._stack = frame_mod.set_pose(
+                    self._stack, slot, jnp.asarray(q, jnp.float32),
+                    jnp.asarray(t, jnp.float32))
+
+    def prune_poseframes(self, keep_ids):
+        """Drop all poseframes not in keep_ids, re-anchoring their features
+        onto the newest survivor (reference flame.cc:554-706)."""
+        keep = set(int(i) for i in keep_ids)
+        valid = np.asarray(self._stack.valid)
+        ids = np.asarray(self._stack.frame_id)
+        curr_id = ids[self._curr_pf_slot] if self._curr_pf_slot is not None \
+            else None
+        if curr_id is not None and int(curr_id) not in keep:
+            if not self.params.debug_quiet:
+                print("flame_tpu: current poseframe not in keep list")
+            return
+
+        kill_slots = [s for s in np.nonzero(valid)[0]
+                      if int(ids[s]) not in keep]
+        if not kill_slots:
+            return
+        surv = [s for s in np.nonzero(valid)[0] if int(ids[s]) in keep]
+        if not surv:
+            self.clear()
+            for s in kill_slots:
+                self._stack = frame_mod.remove(self._stack, s)
+                self._pf_slot_by_id.pop(int(ids[s]), None)
+                self._pf_free.append(int(s))
+            self._curr_pf_slot = None
+            return
+        # Newest survivor (reference uses crbegin = highest id,
+        # flame.cc:607).
+        target = int(max(surv, key=lambda s: ids[s]))
+
+        kill_mask = np.zeros(valid.shape[0], bool)
+        for s in kill_slots:
+            kill_mask[s] = True
+        b = self.params.border
+        self._feats = pipeline.reanchor_features(
+            self._feats, self.K, self.Kinv, self._stack,
+            jnp.asarray(kill_mask), target, float(b),
+            float(self.width - b), float(self.height - b))
+        # Staged detections referencing killed pfs are dropped (reference
+        # flame.cc:580-589).
+        self._pending = [(xy, s) for xy, s in self._pending
+                         if not kill_mask[s]]
+        if self._ba is not None:
+            self._ba.store.drop_frames(int(ids[s]) for s in kill_slots)
+        for s in kill_slots:
+            self._stack = frame_mod.remove(self._stack, s)
+            self._pf_slot_by_id.pop(int(ids[s]), None)
+            self._pf_free.append(int(s))
+        # Re-anchoring may have invalidated features; refresh the mirror.
+        self._refresh_feat_mirror()
+
+    def clear(self):
+        """Reset features/graph/mesh; poseframes survive (reference
+        flame.h:179-202)."""
+        p = self.params
+        self.inited = False
+        self._feats = pipeline.empty_features(p.feature_capacity)
+        self._graph = nltgv2.empty(p.feature_capacity, p.edge_capacity,
+                                   p.solver.max_vertex_degree)
+        self._curr = pipeline.CurrFeatures(
+            xy=jnp.zeros((p.feature_capacity, 2), jnp.float32),
+            idepth=jnp.zeros(p.feature_capacity),
+            var=jnp.zeros(p.feature_capacity),
+            valid=jnp.zeros(p.feature_capacity, bool))
+        self._tri_mask = jnp.zeros_like(self._tri_mask)
+        self._edge_codes = None
+        self._edge_slots = None
+        self._pending = []
+        self._feat_valid_np = np.zeros(p.feature_capacity, bool)
+        self._n_valid = 0
+
+    def _refresh_feat_mirror(self):
+        """Re-sync the host validity mirror from the device (used after
+        rare ops that mutate validity outside the tracked path)."""
+        self._feat_valid_np = np.asarray(self._feats.valid).copy()
+        self._n_valid = int(self._feat_valid_np.sum())
+
+    # ------------------------------------------------------------------
+    # Outputs (reference flame.h:207-280).
+    # ------------------------------------------------------------------
+
+    def get_inverse_depth_map(self) -> np.ndarray:
+        """Dense idepthmap over all triangles (reference flame.h:207-210)."""
+        return np.asarray(self._idepthmap)
+
+    def get_filtered_inverse_depth_map(self) -> np.ndarray:
+        """Dense idepthmap over filter-passing triangles only
+        (reference flame.h:217-228)."""
+        img = rasterize.rasterize(
+            self._graph.pos, self._tris, self._vtx_idepths,
+            self._tri_mask & self._tri_validity, self.height, self.width)
+        return np.asarray(img)
+
+    def get_inverse_depth_mesh(self):
+        """Compacted mesh (reference flame.h:233-249): dict with vertices,
+        idepths, w1, w2, normals, triangles, tri_validity, edges (all np,
+        triangle/edge indices into the compacted vertex list)."""
+        member = np.asarray(self._graph.vtx_mask)
+        slots = np.nonzero(member)[0]
+        remap = np.full(member.shape[0], -1, np.int64)
+        remap[slots] = np.arange(slots.shape[0])
+        tris = remap[np.asarray(self._tris)[: self._n_tris]]
+        edges = remap[self._edges_np[: self._n_edges]]
+        validity = np.asarray(self._tri_validity)[: self._n_tris]
+        # Membership can have shrunk since the triangulation was built
+        # (e.g. after clear()/prune); drop rows touching dead vertices.
+        tri_ok = np.all(tris >= 0, axis=1) if tris.size else \
+            np.zeros(0, bool)
+        edge_ok = np.all(edges >= 0, axis=1) if edges.size else \
+            np.zeros(0, bool)
+        return {
+            "vertices": np.asarray(self._graph.pos)[slots],
+            "idepths": np.asarray(self._vtx_idepths)[slots],
+            "w1": np.asarray(self._graph.w1)[slots],
+            "w2": np.asarray(self._graph.w2)[slots],
+            "normals": np.asarray(self._vtx_normals)[slots],
+            "triangles": tris[tri_ok],
+            "tri_validity": validity[tri_ok],
+            "edges": edges[edge_ok],
+        }
+
+    def get_raw_idepths(self):
+        """Valid current-frame features (reference flame.h:255-273):
+        (vertices (M, 2), idepth_mu (M,), idepth_var (M,))."""
+        v = np.asarray(self._curr.valid)
+        return (np.asarray(self._curr.xy)[v],
+                np.asarray(self._curr.idepth)[v],
+                np.asarray(self._curr.var)[v])
+
+    def failure_stats(self) -> Dict[str, int]:
+        s = np.asarray(self._last_stats_dev)
+        self.stats.set("num_idepth_updates", int(s[pipeline.STAT_UPDATES]))
+        return {
+            "updates": int(s[pipeline.STAT_UPDATES]),
+            "fail_max_var": int(s[pipeline.STAT_FAIL_MAX_VAR]),
+            "fail_max_dropouts": int(s[pipeline.STAT_FAIL_MAX_DROPOUTS]),
+            "fail_ref_patch_grad": int(s[pipeline.STAT_FAIL_REF_PATCH]),
+            "fail_ambiguous_match": int(s[pipeline.STAT_FAIL_AMBIGUOUS]),
+            "fail_max_cost": int(s[pipeline.STAT_FAIL_MAX_COST]),
+        }

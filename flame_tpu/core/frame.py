@@ -1,0 +1,106 @@
+"""Per-image frames and the fixed-capacity poseframe stack.
+
+TPU-native re-design of the reference's Frame
+(/root/reference/src/flame/utils/frame.h:38-68, frame.cc:33-71): a frame is
+a pytree of device arrays (image, reflect-101-padded image, central
+gradients, cached dense idepthmap) plus its SE(3) pose. Poseframes
+(keyframes) live in a stacked [F, ...] array with a validity mask so every
+per-feature computation can gather its anchor frame's image/pose with one
+index — the array-world replacement for the reference's
+map<id, Frame::Ptr> (flame.h:FrameIDToFrame).
+
+The reference builds multi-level pyramids but runs the pipeline at level 0
+only (flame.cc:150 creates frames with num_levels=1); we store level 0 and
+expose flame_tpu.ops.pyramid for callers that want pyramids.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from flame_tpu.ops.gradients import central_gradient
+
+
+class Frame(NamedTuple):
+    frame_id: jax.Array  # () int32 external id
+    q: jax.Array  # (4,) pose: camera-to-world rotation
+    t: jax.Array  # (3,) camera-to-world translation
+    img: jax.Array  # (H, W) float32
+    img_pad: jax.Array  # (H + 2p, W + 2p) reflect-101 padded
+    gradx: jax.Array  # (H, W)
+    grady: jax.Array  # (H, W)
+
+
+@functools.partial(jax.jit, static_argnames=("pad",))
+def create(frame_id, q, t, img, pad: int) -> Frame:
+    """Build a frame: float image, reflect-101 padding, central gradients
+    (reference frame.cc:33-71; pad == filter win_size, flame.cc:149)."""
+    f = img.astype(jnp.float32)
+    img_pad = jnp.pad(f, pad, mode="reflect")  # reflect-101 == np 'reflect'
+    gx, gy = central_gradient(f)
+    return Frame(frame_id=jnp.asarray(frame_id, jnp.int32),
+                 q=q.astype(jnp.float32), t=t.astype(jnp.float32),
+                 img=f, img_pad=img_pad, gradx=gx, grady=gy)
+
+
+class FrameStack(NamedTuple):
+    """Fixed-capacity poseframe table [F]."""
+
+    frame_id: jax.Array  # (F,) int32, -1 when free
+    q: jax.Array  # (F, 4)
+    t: jax.Array  # (F, 3)
+    img_pad: jax.Array  # (F, H+2p, W+2p)
+    gradx: jax.Array  # (F, H, W)
+    grady: jax.Array  # (F, H, W)
+    idepthmap: jax.Array  # (F, H, W) cached dense idepth (NaN = none)
+    valid: jax.Array  # (F,) bool
+
+
+def empty_stack(capacity: int, height: int, width: int, pad: int) -> FrameStack:
+    F = capacity
+    return FrameStack(
+        frame_id=jnp.full((F,), -1, jnp.int32),
+        q=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (F, 1)),
+        t=jnp.zeros((F, 3), jnp.float32),
+        img_pad=jnp.zeros((F, height + 2 * pad, width + 2 * pad), jnp.float32),
+        gradx=jnp.zeros((F, height, width), jnp.float32),
+        grady=jnp.zeros((F, height, width), jnp.float32),
+        idepthmap=jnp.full((F, height, width), jnp.nan, jnp.float32),
+        valid=jnp.zeros((F,), bool))
+
+
+@jax.jit
+def insert(stack: FrameStack, slot, frame: Frame) -> FrameStack:
+    """Write a frame into a poseframe slot."""
+    slot = jnp.asarray(slot, jnp.int32)
+    H, W = stack.gradx.shape[1:]
+    return stack._replace(
+        frame_id=stack.frame_id.at[slot].set(frame.frame_id),
+        q=stack.q.at[slot].set(frame.q),
+        t=stack.t.at[slot].set(frame.t),
+        img_pad=stack.img_pad.at[slot].set(frame.img_pad),
+        gradx=stack.gradx.at[slot].set(frame.gradx),
+        grady=stack.grady.at[slot].set(frame.grady),
+        idepthmap=stack.idepthmap.at[slot].set(jnp.full((H, W), jnp.nan)),
+        valid=stack.valid.at[slot].set(True))
+
+
+@jax.jit
+def set_idepthmap(stack: FrameStack, slot, idepthmap) -> FrameStack:
+    return stack._replace(idepthmap=stack.idepthmap.at[slot].set(idepthmap))
+
+
+@jax.jit
+def set_pose(stack: FrameStack, slot, q, t) -> FrameStack:
+    """Update one poseframe pose (the updatePoseFramePoses hook,
+    reference flame.h:155-164)."""
+    return stack._replace(q=stack.q.at[slot].set(q),
+                          t=stack.t.at[slot].set(t))
+
+
+@jax.jit
+def remove(stack: FrameStack, slot) -> FrameStack:
+    return stack._replace(valid=stack.valid.at[slot].set(False),
+                          frame_id=stack.frame_id.at[slot].set(-1))

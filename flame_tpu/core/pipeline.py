@@ -1,0 +1,470 @@
+"""Device-side per-frame pipeline steps (jitted, fixed shapes).
+
+The reference's per-feature OpenMP loops and mutable-graph surgery
+(/root/reference/src/flame/flame.cc: updateFeatureIDepths :1280-1534,
+trackFeature :1536-1752, projectFeatures :1754-1860, projectGraph
+:1862-1938, syncGraph :1940-2188) become whole-array jitted functions over
+fixed-capacity SoA state. Feature slot i is graph vertex slot i — the
+reference maintains a feat<->vertex bijection (feat_to_vtx_/vtx_to_feat_)
+that this representation makes structural.
+
+Every function here is shape-stable across frames so each jits exactly
+once per configuration.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from flame_tpu.geometry import se3, epipolar
+from flame_tpu.params import Params
+from flame_tpu.stereo import filter as idfilter
+from flame_tpu.stereo import line_stereo, meas_model
+from flame_tpu.optimize import nltgv2
+from flame_tpu.core.frame import Frame, FrameStack
+
+# Failure-type counter indices (reference flame.cc:1301-1305, 1498-1504).
+STAT_UPDATES = 0
+STAT_FAIL_MAX_VAR = 1
+STAT_FAIL_MAX_DROPOUTS = 2
+STAT_FAIL_REF_PATCH = 3
+STAT_FAIL_AMBIGUOUS = 4
+STAT_FAIL_MAX_COST = 5
+N_STATS = 6
+
+
+class FeatureState(NamedTuple):
+    """Per-feature persistent filter state [N] (reference FeatureWithIDepth,
+    flame/types.h)."""
+
+    xy: jax.Array  # (N, 2) position in the anchor poseframe
+    pf_slot: jax.Array  # (N,) int32 anchor poseframe slot
+    idepth_mu: jax.Array  # (N,)
+    idepth_var: jax.Array  # (N,)
+    valid: jax.Array  # (N,) bool
+    num_updates: jax.Array  # (N,) int32
+    num_dropouts: jax.Array  # (N,) int32
+    search_status: jax.Array  # (N,) int32 (last failure taxonomy)
+    feat_id: jax.Array  # (N,) int32 globally-unique id (slots are recycled;
+    # ids are not — BA landmarks key on id, reference feat.id flame.cc:740)
+
+
+class CurrFeatures(NamedTuple):
+    """Features projected into the current frame [N]
+    (reference feats_in_curr_)."""
+
+    xy: jax.Array  # (N, 2)
+    idepth: jax.Array  # (N,)
+    var: jax.Array  # (N,)
+    valid: jax.Array  # (N,) bool
+
+
+class TrackObs(NamedTuple):
+    """Per-feature epipolar match observations from one update, the raw
+    material for windowed BA (new vs reference, which exposes no
+    per-match output)."""
+
+    success: jax.Array  # (N,) bool — full track+measure+fuse success
+    u_ref: jax.Array  # (N, 2) anchor-frame pixel (post any re-anchoring)
+    u_obs: jax.Array  # (N, 2) matched pixel in the new frame
+    idepth: jax.Array  # (N,) fused idepth (anchor frame)
+    var: jax.Array  # (N,) fused variance
+
+
+def empty_features(capacity: int) -> FeatureState:
+    N = capacity
+    return FeatureState(
+        xy=jnp.zeros((N, 2), jnp.float32),
+        pf_slot=jnp.zeros((N,), jnp.int32),
+        idepth_mu=jnp.zeros((N,), jnp.float32),
+        idepth_var=jnp.zeros((N,), jnp.float32),
+        valid=jnp.zeros((N,), bool),
+        num_updates=jnp.zeros((N,), jnp.int32),
+        num_dropouts=jnp.zeros((N,), jnp.int32),
+        search_status=jnp.zeros((N,), jnp.int32),
+        feat_id=jnp.full((N,), -1, jnp.int32))
+
+
+def _feature_geos(K, Kinv, stack: FrameStack, feats: FeatureState,
+                  q_new, t_new):
+    """Batched anchor->new epipolar geometries, one per feature."""
+    qa = stack.q[feats.pf_slot]  # (N, 4) anchor camera-to-world
+    ta = stack.t[feats.pf_slot]
+    # T_ref_to_new = T_new^-1 * T_anchor.
+    q_rel, t_rel = se3.mul(se3.inverse((q_new, t_new)), (qa, ta))
+    return jax.vmap(epipolar.load, in_axes=(None, None, 0, 0))(
+        K, Kinv, q_rel, t_rel)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
+                       feats: FeatureState, fnew: Frame, curr_pf_slot):
+    """The per-frame feature update: track -> measure -> fuse -> project ->
+    graph-membership gate. One fused jit over all feature slots.
+
+    Returns (feats', curr: CurrFeatures, member: (N,) bool graph-membership
+    mask, stats: (N_STATS,) int32 failure counters, obs: TrackObs — the
+    per-feature match observations this frame (consumed by the BA layer).
+    """
+    N = feats.xy.shape[0]
+    H, W = fnew.gradx.shape
+    pad = (fnew.img_pad.shape[0] - H) // 2
+    fp = params.fparams
+    border = params.border
+    n_steps = line_stereo.n_steps_for(fp.epilength_max)
+
+    q_new, t_new = fnew.q, fnew.t
+    geos = _feature_geos(K, Kinv, stack, feats, q_new, t_new)
+
+    def vr_contains(xy):
+        return ((xy[..., 0] >= border) & (xy[..., 0] < W - border)
+                & (xy[..., 1] >= border) & (xy[..., 1] < H - border))
+
+    alive = feats.valid
+
+    # --- Baseline gate (flame.cc:1319-1324): too-small baseline = skip (not
+    # a failure; feature state untouched this frame).
+    baseline = jnp.linalg.norm(geos.t_ref_to_cmp, axis=-1)
+    do_track = alive & (baseline >= params.min_baseline)
+
+    # --- Predict (flame.cc:1550-1564).
+    ok_pred, u_cmp_pred, mu_pred, var_pred = jax.vmap(
+        idfilter.predict, in_axes=(0, None, 0, 0, 0))(
+            geos, fp.process_var_factor, feats.xy, feats.idepth_mu,
+            feats.idepth_var)
+
+    # --- Rescale factor (flame.cc:1583-1659): out-of-bounds warp moves the
+    # feature to the current poseframe and fails the track.
+    rescale = jnp.where((feats.idepth_mu > 0) & (mu_pred > 0),
+                        mu_pred / jnp.where(feats.idepth_mu > 0,
+                                            feats.idepth_mu, 1.0), 1.0)
+    bad_rescale = (rescale <= params.rescale_factor_min) | \
+                  (rescale >= params.rescale_factor_max)
+
+    # Move path: predict through anchor -> curr_pf.
+    q_pf = stack.q[curr_pf_slot]
+    t_pf = stack.t[curr_pf_slot]
+    qa = stack.q[feats.pf_slot]
+    ta = stack.t[feats.pf_slot]
+    q_mv, t_mv = se3.mul(se3.inverse((q_pf, t_pf)), (qa, ta))
+    geos_mv = jax.vmap(epipolar.load, in_axes=(None, None, 0, 0))(
+        K, Kinv, q_mv, t_mv)
+    ok_mv, u_pf, id_pf, _ = jax.vmap(
+        idfilter.predict, in_axes=(0, None, 0, 0, 0))(
+            geos_mv, fp.process_var_factor, feats.xy, feats.idepth_mu,
+            feats.idepth_var)
+    mv_in = vr_contains(u_pf)
+    do_move = do_track & ok_pred & bad_rescale
+    move_ok = do_move & ok_mv & mv_in
+    move_fail = do_move & ~(ok_mv & mv_in)
+
+    ratio_mv = jnp.where(jnp.abs(feats.idepth_mu) > 0,
+                         id_pf / jnp.where(jnp.abs(feats.idepth_mu) > 0,
+                                           feats.idepth_mu, 1.0), 1.0)
+    vf4_mv = jnp.where(id_pf < 1e-6, 1.0, ratio_mv ** 4)
+
+    new_xy = jnp.where(move_ok[:, None], u_pf, feats.xy)
+    new_pf_slot = jnp.where(move_ok, jnp.asarray(curr_pf_slot, jnp.int32),
+                            feats.pf_slot)
+    new_mu = jnp.where(move_ok, id_pf, feats.idepth_mu)
+    new_var = jnp.where(move_ok, feats.idepth_var * vf4_mv, feats.idepth_var)
+    killed_by_move = move_fail
+
+    # --- Search region (flame.cc:1661-1675), using the pre-update prior.
+    attempt = do_track & ok_pred & ~bad_rescale
+    reg = jax.vmap(
+        functools.partial(idfilter.get_search_region, fp),
+        in_axes=(0, None, None, 0, 0, 0))(
+            geos, W, H, feats.xy, feats.idepth_mu, feats.idepth_var)
+    in_vr = vr_contains(feats.xy)
+    attempt = attempt & reg.ok & in_vr
+
+    # --- Line search against the anchor pf image stack (flame.cc:1689-1694).
+    off = jnp.float32(pad)
+    sres = idfilter.search_stacked(
+        fp, geos, rescale, stack.img_pad, feats.pf_slot, fnew.img_pad,
+        feats.xy, feats.xy + off, reg.start + off, reg.end + off, n_steps)
+    flow = sres.u_cmp - off
+    search_ok = attempt & (sres.status == idfilter.SUCCESS)
+
+    # --- Measurement (flame.cc:1380-1390): cmp frame is fnew.
+    ok_meas, mu_meas, var_meas = jax.vmap(
+        functools.partial(meas_model.idepth_measurement, params.zparams),
+        in_axes=(0, None, None, 0, 0))(
+            geos, fnew.gradx, fnew.grady, feats.xy, flow)
+
+    # --- Fusion with the anchor-frame prior (flame.cc:1433-1440).
+    ok_fuse, mu_post, var_post = idfilter.update(
+        new_mu, new_var, mu_meas, var_meas, params.outlier_sigma_thresh)
+
+    success = search_ok & ok_meas & ok_fuse
+    # Any attempted-but-failed lane (including move lanes) takes the failure
+    # path; skipped lanes (baseline) remain untouched.
+    attempted = do_track & ok_pred  # reached rescale/search logic
+    failed = (do_track & ~ok_pred) | (attempted & ~success)
+
+    if params.do_meas_fusion:
+        mu_succ, var_succ = mu_post, var_post
+    else:
+        mu_succ, var_succ = mu_meas, var_meas
+
+    out_mu = jnp.where(success, mu_succ, new_mu)
+    out_var = jnp.where(success, var_succ,
+                        jnp.where(failed,
+                                  new_var * fp.process_fail_var_factor,
+                                  new_var))
+
+    fail_max_var = failed & (out_var > params.idepth_var_max)
+    out_dropouts = jnp.where(success, 0,
+                             jnp.where(failed, feats.num_dropouts + 1,
+                                       feats.num_dropouts))
+    fail_max_drop = failed & (out_dropouts > params.max_dropouts)
+
+    out_valid = alive & ~killed_by_move & ~fail_max_var & ~fail_max_drop
+    out_updates = jnp.where(success, feats.num_updates + 1,
+                            feats.num_updates)
+    out_status = jnp.where(attempt, sres.status, feats.search_status)
+
+    feats2 = FeatureState(
+        xy=new_xy, pf_slot=new_pf_slot, idepth_mu=out_mu,
+        idepth_var=out_var, valid=out_valid,
+        num_updates=out_updates.astype(jnp.int32),
+        num_dropouts=out_dropouts.astype(jnp.int32),
+        search_status=out_status.astype(jnp.int32),
+        feat_id=feats.feat_id)
+
+    # --- Project into the current frame (flame.cc:1754-1860).
+    geos2 = _feature_geos(K, Kinv, stack, feats2, q_new, t_new)
+    xy_cur, id_cur = jax.vmap(epipolar.project_idepth)(
+        geos2, feats2.xy, feats2.idepth_mu)
+    proj_ok = vr_contains(xy_cur) & (id_cur >= 0)
+    ratio_c = jnp.where(feats2.idepth_mu > 0,
+                        id_cur / jnp.where(feats2.idepth_mu > 0,
+                                           feats2.idepth_mu, 1.0), 1.0)
+    vf4_c = jnp.where(feats2.idepth_mu < 1e-6, 1.0, ratio_c ** 4)
+    var_cur = vf4_c * feats2.idepth_var
+
+    final_valid = feats2.valid & proj_ok
+    feats3 = feats2._replace(valid=final_valid)
+    curr = CurrFeatures(xy=xy_cur, idepth=id_cur, var=var_cur,
+                        valid=final_valid)
+
+    # --- Graph membership gate (flame.cc:1956-1980): variance below the
+    # graph threshold and world height within bounds (anchor-frame
+    # backprojection; idepth 0 maps to infinity and fails the gate).
+    qf = stack.q[feats3.pf_slot]
+    tf = stack.t[feats3.pf_slot]
+    rx = Kinv[0, 0] * feats3.xy[:, 0] + Kinv[0, 2]
+    ry = Kinv[1, 1] * feats3.xy[:, 1] + Kinv[1, 2]
+    ray = jnp.stack([rx, ry, jnp.ones_like(rx)], axis=-1)
+    depth = 1.0 / jnp.where(feats3.idepth_mu > 0, feats3.idepth_mu, jnp.inf)
+    p_world = se3.quat_rotate(qf, ray * depth[:, None]) + tf
+    height_ok = ((-p_world[:, 1] >= params.min_height)
+                 & (-p_world[:, 1] <= params.max_height))
+    member = final_valid & (feats3.idepth_var < params.idepth_var_max_graph) \
+        & height_ok
+
+    # --- Failure stats.
+    stats = jnp.zeros((N_STATS,), jnp.int32)
+    stats = stats.at[STAT_UPDATES].set(jnp.sum(success))
+    stats = stats.at[STAT_FAIL_MAX_VAR].set(jnp.sum(fail_max_var))
+    stats = stats.at[STAT_FAIL_MAX_DROPOUTS].set(jnp.sum(fail_max_drop))
+    stats = stats.at[STAT_FAIL_REF_PATCH].set(
+        jnp.sum(attempt & (sres.status == idfilter.FAIL_REF_PATCH_GRADIENT)))
+    stats = stats.at[STAT_FAIL_AMBIGUOUS].set(
+        jnp.sum(attempt & (sres.status == idfilter.FAIL_AMBIGUOUS_MATCH)))
+    stats = stats.at[STAT_FAIL_MAX_COST].set(
+        jnp.sum(attempt & (sres.status == idfilter.FAIL_MAX_COST)))
+
+    obs = TrackObs(success=success & final_valid, u_ref=feats3.xy,
+                   u_obs=flow, idepth=feats3.idepth_mu,
+                   var=feats3.idepth_var)
+    return feats3, curr, member, stats, obs
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def graph_sync(params: Params, K, Kinv, graph: nltgv2.GraphState,
+               prev_in_graph, member, curr: CurrFeatures,
+               geo_prev_to_new: epipolar.EpiGeo, graph_scale,
+               edges, alpha, edge_mask, q_carry_perm,
+               inc_edge, inc_sign):
+    """Synchronize the solver graph with the tracked features
+    (reference projectGraph flame.cc:1862-1938 + syncGraph :1940-2163).
+
+    prev_in_graph: (N,) bool — membership before this frame.
+    member: (N,) bool — membership after gating.
+    edges/alpha/edge_mask: host-built edge arrays in feature-slot space.
+    q_carry_perm: (E,) int32 — previous edge slot whose duals carry over,
+    -1 for brand-new edges (reference flame.cc:2094-2104 keeps duals on
+    surviving vertex pairs).
+    """
+    # Project surviving vertices' smoothed idepth into the new frame
+    # (projectGraph transforms x through the prev->new geometry; position is
+    # subsequently overwritten with the feature's current projection).
+    x_proj, id_new = epipolar.project_idepth(
+        geo_prev_to_new, graph.pos, graph.x * graph_scale)
+    x_surv = jnp.where(prev_in_graph, id_new / graph_scale, graph.x)
+
+    new_member = member & ~prev_in_graph
+    data_term = curr.idepth / graph_scale
+    weight = jnp.where(
+        member,
+        (1.0 / jnp.maximum(curr.var, 1e-12))
+        if params.adaptive_data_weights else jnp.ones_like(curr.var),
+        0.0)
+
+    x = jnp.where(new_member, data_term, x_surv)
+    if params.check_sticky_obstacles:
+        sticky = member & (x - data_term > 0.25)
+        x = jnp.where(sticky, data_term, x)
+    x_bar = jnp.where(new_member, x, graph.x_bar)
+    w1 = jnp.where(new_member, 0.0, graph.w1)
+    w2 = jnp.where(new_member, 0.0, graph.w2)
+    w1_bar = jnp.where(new_member, 0.0, graph.w1_bar)
+    w2_bar = jnp.where(new_member, 0.0, graph.w2_bar)
+
+    # Dual carry-over.
+    carried = q_carry_perm >= 0
+    perm = jnp.maximum(q_carry_perm, 0)
+    q1 = jnp.where(carried, graph.q1[perm], 0.0)
+    q2 = jnp.where(carried, graph.q2[perm], 0.0)
+    q3 = jnp.where(carried, graph.q3[perm], 0.0)
+
+    E = edges.shape[0]
+    return graph._replace(
+        pos=jnp.where(member[:, None], curr.xy, graph.pos),
+        x=jnp.where(member, x, 0.0),
+        w1=jnp.where(member, w1, 0.0),
+        w2=jnp.where(member, w2, 0.0),
+        x_bar=jnp.where(member, x_bar, 0.0),
+        w1_bar=jnp.where(member, w1_bar, 0.0),
+        w2_bar=jnp.where(member, w2_bar, 0.0),
+        data_term=jnp.where(member, data_term, 0.0),
+        data_weight=weight,
+        vtx_mask=member,
+        edges=edges,
+        alpha=jnp.where(edge_mask, alpha, 0.0),
+        beta=jnp.where(edge_mask, 1.0, 0.0),
+        q1=jnp.where(edge_mask, q1, 0.0),
+        q2=jnp.where(edge_mask, q2, 0.0),
+        q3=jnp.where(edge_mask, q3, 0.0),
+        edge_mask=edge_mask,
+        inc_edge=inc_edge, inc_sign=inc_sign)
+
+
+@jax.jit
+def pack_track_outputs(feats: FeatureState, curr: CurrFeatures, member):
+    """Pack everything the host needs after tracking into one small array
+    (one device->host transfer instead of five): columns are
+    [x, y, member, curr_valid, feat_valid]."""
+    return jnp.concatenate([
+        curr.xy,
+        member[:, None].astype(jnp.float32),
+        curr.valid[:, None].astype(jnp.float32),
+        feats.valid[:, None].astype(jnp.float32),
+    ], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "width", "height"))
+def mesh_outputs(params: Params, K, Kinv, width: int, height: int,
+                 graph, tris, tri_mask, graph_scale):
+    """Vertex idepths, normals, triangle filters, dense idepthmap — one
+    fused dispatch (reference flame.cc:353-415)."""
+    from flame_tpu.mesh import filters as mesh_filters
+    from flame_tpu.ops import rasterize as raster
+
+    vtx_idepths = jnp.where(graph.vtx_mask, graph.x * graph_scale, 0.0)
+    normals = mesh_filters.vertex_normals(Kinv, graph.pos, vtx_idepths,
+                                          tris, tri_mask)
+    tri_validity = mesh_filters.apply_filters(
+        params.tri_filter, Kinv, width, graph.pos, vtx_idepths, tris,
+        tri_mask)
+    idepthmap = raster.rasterize(graph.pos, tris, vtx_idepths, tri_mask,
+                                 height, width)
+    return vtx_idepths, normals, tri_validity, idepthmap
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def seed_new_features(xy, ref_idepthmap, idepth_init, var_init,
+                      capacity: int):
+    """Initial idepth for newly detected features: the poseframe's dense
+    idepthmap value when available, else idepth_init
+    (reference flame.cc:747-753)."""
+    H, W = ref_idepthmap.shape
+    xi = jnp.clip(jnp.floor(xy[:, 0] + 0.5).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.floor(xy[:, 1] + 0.5).astype(jnp.int32), 0, H - 1)
+    seed = ref_idepthmap[yi, xi]
+    mu = jnp.where(jnp.isnan(seed), idepth_init, seed)
+    var = jnp.full((capacity,), var_init, jnp.float32)
+    return mu, var
+
+
+@jax.jit
+def add_features(feats: FeatureState, slots, xy, pf_slot, mu, var, use,
+                 id_base):
+    """Scatter newly detected features into free slots. `use` masks the
+    padded rows; unused rows scatter to slot 0 with use=False (no-op via
+    where on gathered originals). New ids are id_base + row index."""
+    slots = jnp.where(use, slots, 0)
+
+    def scat(arr, new_vals):
+        cur = arr[slots]
+        vals = jnp.where(use.reshape((-1,) + (1,) * (arr.ndim - 1)),
+                         new_vals, cur)
+        return arr.at[slots].set(vals)
+
+    new_ids = jnp.asarray(id_base, jnp.int32) + \
+        jnp.arange(slots.shape[0], dtype=jnp.int32)
+    return FeatureState(
+        xy=scat(feats.xy, xy),
+        pf_slot=scat(feats.pf_slot, jnp.broadcast_to(
+            jnp.asarray(pf_slot, jnp.int32), slots.shape)),
+        idepth_mu=scat(feats.idepth_mu, mu),
+        idepth_var=scat(feats.idepth_var, var),
+        valid=scat(feats.valid, jnp.ones_like(use)),
+        num_updates=scat(feats.num_updates, jnp.zeros_like(slots)),
+        num_dropouts=scat(feats.num_dropouts, jnp.zeros_like(slots)),
+        search_status=scat(feats.search_status, jnp.zeros_like(slots)),
+        feat_id=scat(feats.feat_id, new_ids))
+
+
+@jax.jit
+def reanchor_features(feats: FeatureState, K, Kinv, stack: FrameStack,
+                      kill_pf_mask, target_slot, border_lo, border_hi_x,
+                      border_hi_y):
+    """Move features anchored in pruned poseframes onto a surviving one
+    (reference prunePoseFrames, flame.cc:603-700): predict through
+    old->target geometry, propagate variance by (mu'/mu)^4, invalidate on
+    failed or out-of-bounds moves."""
+    needs_move = feats.valid & kill_pf_mask[feats.pf_slot]
+
+    q_t = stack.q[target_slot]
+    t_t = stack.t[target_slot]
+    qa = stack.q[feats.pf_slot]
+    ta = stack.t[feats.pf_slot]
+    q_rel, t_rel = se3.mul(se3.inverse((q_t, t_t)), (qa, ta))
+    geos = jax.vmap(epipolar.load, in_axes=(None, None, 0, 0))(
+        K, Kinv, q_rel, t_rel)
+    ok, u_pf, id_pf, _ = jax.vmap(
+        idfilter.predict, in_axes=(0, None, 0, 0, 0))(
+            geos, 1.0, feats.xy, feats.idepth_mu, feats.idepth_var)
+
+    in_bounds = ((u_pf[:, 0] >= border_lo) & (u_pf[:, 0] < border_hi_x)
+                 & (u_pf[:, 1] >= border_lo) & (u_pf[:, 1] < border_hi_y))
+    move_ok = needs_move & ok & in_bounds
+
+    ratio = jnp.where(jnp.abs(feats.idepth_mu) > 0,
+                      id_pf / jnp.where(jnp.abs(feats.idepth_mu) > 0,
+                                        feats.idepth_mu, 1.0), 1.0)
+    vf4 = jnp.where(id_pf < 1e-6, 1.0, ratio ** 4)
+
+    return feats._replace(
+        xy=jnp.where(needs_move[:, None], u_pf, feats.xy),
+        pf_slot=jnp.where(needs_move, jnp.asarray(target_slot, jnp.int32),
+                          feats.pf_slot),
+        idepth_mu=jnp.where(needs_move, id_pf, feats.idepth_mu),
+        idepth_var=jnp.where(needs_move, feats.idepth_var * vf4,
+                             feats.idepth_var),
+        valid=jnp.where(needs_move, move_ok, feats.valid))

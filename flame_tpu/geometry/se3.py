@@ -173,15 +173,28 @@ def from_matrix(m: jax.Array):
 # ---------------------------------------------------------------------------
 
 
+# Small-angle series threshold. CRITICAL for float32: the direct formulas
+# contain 1-cos(theta) and theta-sin(theta), which lose ALL mantissa bits
+# below theta ~ 3e-4 (relative error of (1-cos)/theta^2 is ~eps/theta^2).
+# The crossover where the 3-term series beats the direct evaluation is
+# theta ~ 0.04; we switch at theta^2 < 9e-4 (theta < 0.03).
+_SMALL_THETA2 = 9e-4
+
+
 def _so3_exp(w: jax.Array):
-    """Axis-angle (..., 3) -> (unit quaternion, V matrix for SE3 exp)."""
+    """Axis-angle (..., 3) -> (unit quaternion, theta, theta^2, small)."""
     theta2 = jnp.sum(w * w, axis=-1, keepdims=True)
     theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
-    small = theta2 < 1e-12
+    small = theta2 < _SMALL_THETA2
 
     half = 0.5 * theta
-    sinc_half = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / theta)
-    qw = jnp.where(small[..., 0], 1.0 - theta2[..., 0] / 8.0, jnp.cos(half[..., 0]))
+    sinc_half = jnp.where(small,
+                          0.5 - theta2 / 48.0 + theta2 * theta2 / 3840.0,
+                          jnp.sin(half) / theta)
+    qw = jnp.where(small[..., 0],
+                   1.0 - theta2[..., 0] / 8.0
+                   + theta2[..., 0] * theta2[..., 0] / 384.0,
+                   jnp.cos(half[..., 0]))
     q = jnp.concatenate([qw[..., None], sinc_half * w], axis=-1)
     return quat_normalize(q), theta, theta2, small
 
@@ -195,10 +208,13 @@ def exp(xi: jax.Array):
     v, w = xi[..., :3], xi[..., 3:]
     q, theta, theta2, small = _so3_exp(w)
 
-    A = jnp.where(small, 0.5 - theta2 / 24.0,
+    A = jnp.where(small,
+                  0.5 - theta2 / 24.0 + theta2 * theta2 / 720.0,
                   (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-24))
-    B = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
-                  (theta - jnp.sin(theta)) / jnp.maximum(theta2 * theta, 1e-24))
+    B = jnp.where(small,
+                  1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0,
+                  (theta - jnp.sin(theta)) / jnp.maximum(theta2 * theta,
+                                                         1e-24))
 
     wxv = jnp.cross(w, v)
     wxwxv = jnp.cross(w, wxv)
@@ -220,11 +236,14 @@ def log(T) -> jax.Array:
 
     theta2 = jnp.sum(w * w, axis=-1, keepdims=True)
     th = jnp.sqrt(jnp.maximum(theta2, 1e-24))
-    small2 = theta2 < 1e-12
+    small2 = theta2 < _SMALL_THETA2
     # V^-1 = I - 1/2 [w]_x + coef [w]_x^2 with
     # coef = (1 - theta*sin(theta) / (2*(1 - cos(theta)))) / theta^2.
+    # The direct form is catastrophically cancellation-prone in f32 for
+    # small theta (see _SMALL_THETA2); use the series there.
     coef = jnp.where(
-        small2, 1.0 / 12.0 + theta2 / 720.0,
+        small2,
+        1.0 / 12.0 + theta2 / 720.0 + theta2 * theta2 / 30240.0,
         (1.0 - th * jnp.sin(th) /
          jnp.maximum(2.0 * (1.0 - jnp.cos(th)), 1e-24)) /
         jnp.maximum(theta2, 1e-24))

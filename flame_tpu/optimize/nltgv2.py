@@ -100,18 +100,22 @@ def build_incidence(edges: np.ndarray, edge_mask: np.ndarray,
     V, D = n_vertices, max_degree
     inc_edge = np.zeros((V, D), np.int32)
     inc_sign = np.zeros((V, D), np.float32)
-    fill = np.zeros(V, np.int32)
     eidx = np.nonzero(edge_mask)[0]
-    for e in eidx:
-        i, j = edges[e]
-        if fill[i] < D:
-            inc_edge[i, fill[i]] = e
-            inc_sign[i, fill[i]] = 1.0
-            fill[i] += 1
-        if fill[j] < D:
-            inc_edge[j, fill[j]] = e
-            inc_sign[j, fill[j]] = -1.0
-            fill[j] += 1
+    if eidx.shape[0] == 0:
+        return inc_edge, inc_sign
+    # Vectorized fill: sort (vertex, edge-id, sign) triples by vertex, rank
+    # within each vertex group, scatter ranks < D.
+    verts = np.concatenate([edges[eidx, 0], edges[eidx, 1]])
+    eids = np.concatenate([eidx, eidx]).astype(np.int32)
+    signs = np.concatenate([np.ones(eidx.shape[0], np.float32),
+                            -np.ones(eidx.shape[0], np.float32)])
+    order = np.argsort(verts, kind="stable")
+    vs = verts[order]
+    first = np.searchsorted(vs, vs, side="left")
+    rank = np.arange(vs.shape[0]) - first
+    keep = rank < D
+    inc_edge[vs[keep], rank[keep]] = eids[order][keep]
+    inc_sign[vs[keep], rank[keep]] = signs[order][keep]
     return inc_edge, inc_sign
 
 

@@ -1,0 +1,187 @@
+"""Multi-chip sharding of the dense-mapping pipeline.
+
+The reference has no distributed computation of any kind (SURVEY.md
+section 0); this layer is the TPU-native scale-out the north star requires:
+
+  * Feature-parallel tracking (the DP axis): feature slots are block-
+    partitioned across devices with shard_map; images/poses are replicated.
+    Tracking is embarrassingly parallel over features (the reference's
+    OpenMP loop, flame.cc:1307).
+  * Edge-parallel smoothing (the TP/graph axis): the NLTGV2 dual step and
+    per-edge primal contributions are computed on each device's edge shard;
+    per-vertex sums are combined with one psum over the ICI per iteration,
+    after which the (replicated) vertex update is computed identically
+    everywhere. This is the reduction formulation of the graph solve —
+    collectives ride the ICI, vertices never move.
+
+Both shardings compose into one pjit-ed update step (sharded_update_step)
+used by the multi-chip dry run and, on pod slices, the production path.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flame_tpu.optimize import nltgv2
+from flame_tpu.params import Params, RegularizerParams
+from flame_tpu.core import pipeline
+from flame_tpu.core.frame import Frame, FrameStack
+
+AXIS = "graph"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+# ---------------------------------------------------------------------------
+# Edge-sharded NLTGV2 smoothing.
+# ---------------------------------------------------------------------------
+
+
+def _sharded_smooth_body(p: RegularizerParams, n_iters: int,
+                         pos, x, w1, w2, x_bar, w1_bar, w2_bar,
+                         data_term, data_weight, vtx_mask,
+                         edges, alpha, beta, q1, q2, q3, edge_mask):
+    """shard_map body: vertex arrays replicated, edge arrays sharded.
+
+    Runs n_iters Chambolle-Pock iterations with one psum per iteration.
+    """
+    V = x.shape[0]
+
+    def one_iter(_, state):
+        (x, w1, w2, x_bar, w1_bar, w2_bar, q1, q2, q3) = state
+        x_prev, w1_prev, w2_prev = x, w1, w2
+
+        ii = edges[:, 0]
+        jj = edges[:, 1]
+        dx = pos[ii, 0] - pos[jj, 0]
+        dy = pos[ii, 1] - pos[jj, 1]
+
+        # Dual ascent on the local edge shard (reference .cc:89-114).
+        K1x = alpha * (x_bar[ii] - x_bar[jj]
+                       - dx * w1_bar[ii] - dy * w2_bar[ii])
+        K2x = beta * (w1_bar[ii] - w1_bar[jj])
+        K3x = beta * (w2_bar[ii] - w2_bar[jj])
+        nq1 = nltgv2._prox_nltgv2_conj(q1 + p.step_q * K1x)
+        nq2 = nltgv2._prox_nltgv2_conj(q2 + p.step_q * K2x)
+        nq3 = nltgv2._prox_nltgv2_conj(q3 + p.step_q * K3x)
+        nq1 = jnp.where(edge_mask, nq1, 0.0)
+        nq2 = jnp.where(edge_mask, nq2, 0.0)
+        nq3 = jnp.where(edge_mask, nq3, 0.0)
+
+        # Local primal contributions, then one psum over the mesh axis
+        # (reference .cc:116-142; the scatter becomes reduce-over-shards).
+        sxa = p.step_x * alpha
+        sxb = p.step_x * beta
+        seg = functools.partial(jax.ops.segment_sum, num_segments=V)
+        d_x = seg(-nq1 * sxa, ii) + seg(nq1 * sxa, jj)
+        d_w1 = seg(nq1 * sxa * dx - nq2 * sxb, ii) + seg(nq2 * sxb, jj)
+        d_w2 = seg(nq1 * sxa * dy - nq3 * sxb, ii) + seg(nq3 * sxb, jj)
+
+        d_x = jax.lax.psum(d_x, AXIS)
+        d_w1 = jax.lax.psum(d_w1, AXIS)
+        d_w2 = jax.lax.psum(d_w2, AXIS)
+
+        nx = x + d_x
+        nw1 = w1 + d_w1
+        nw2 = w2 + d_w2
+
+        nx = nltgv2._prox_l1(p.x_min, p.x_max, p.step_x,
+                             p.data_factor * data_weight, nx, data_term)
+        nx = jnp.where(vtx_mask, nx, x)
+        nw1 = jnp.where(vtx_mask, nw1, w1)
+        nw2 = jnp.where(vtx_mask, nw2, w2)
+
+        # Extragradient (replicated; identical on every device).
+        nx_bar = jnp.clip(nx + p.theta * (nx - x_prev), p.x_min, p.x_max)
+        nw1_bar = nw1 + p.theta * (nw1 - w1_prev)
+        nw2_bar = nw2 + p.theta * (nw2 - w2_prev)
+
+        return (nx, nw1, nw2, nx_bar, nw1_bar, nw2_bar, nq1, nq2, nq3)
+
+    state = (x, w1, w2, x_bar, w1_bar, w2_bar, q1, q2, q3)
+    state = jax.lax.fori_loop(0, n_iters, one_iter, state)
+    return state
+
+
+def sharded_smooth(p: RegularizerParams, g: nltgv2.GraphState, n_iters: int,
+                   mesh: Mesh) -> nltgv2.GraphState:
+    """Run n_iters edge-sharded smoothing iterations over the mesh.
+
+    Edge capacity must divide the mesh size. Numerically identical to
+    nltgv2.smooth (up to float reduction order).
+    """
+    rep = P()
+    eshard = P(AXIS)
+    body = functools.partial(_sharded_smooth_body, p, n_iters)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, rep, rep, rep, rep,
+                  eshard, eshard, eshard, eshard, eshard, eshard, eshard),
+        out_specs=(rep,) * 6 + (eshard,) * 3)
+    x, w1, w2, x_bar, w1_bar, w2_bar, q1, q2, q3 = fn(
+        g.pos, g.x, g.w1, g.w2, g.x_bar, g.w1_bar, g.w2_bar,
+        g.data_term, g.data_weight, g.vtx_mask,
+        g.edges, g.alpha, g.beta, g.q1, g.q2, g.q3, g.edge_mask)
+    return g._replace(x=x, w1=w1, w2=w2, x_bar=x_bar, w1_bar=w1_bar,
+                      w2_bar=w2_bar, q1=q1, q2=q2, q3=q3)
+
+
+# ---------------------------------------------------------------------------
+# Feature-sharded tracking + edge-sharded smoothing: the full sharded
+# per-frame step (used by the multi-chip dry run and pod-slice deployment).
+# ---------------------------------------------------------------------------
+
+
+def sharded_update_step(params: Params, mesh: Mesh):
+    """Build a jitted multi-device per-frame step.
+
+    Returns step(K, Kinv, stack, feats, fnew, curr_pf_slot, graph) ->
+    (feats', curr, member, graph') where feature arrays are sharded over
+    the mesh axis for tracking (DP) and edge arrays are sharded for the
+    smoothing iterations (graph-TP); everything else is replicated.
+    """
+    n_dev = mesh.devices.size
+    assert params.feature_capacity % n_dev == 0, "feature capacity % devices"
+    assert params.edge_capacity % n_dev == 0, "edge capacity % devices"
+
+    def track_body(K, Kinv, stack, feats, fnew, curr_pf_slot):
+        # Per-shard tracking over the local feature block. The gate/member
+        # logic is elementwise over features, so block partitioning is
+        # exact.
+        return pipeline.track_project_sync.__wrapped__(
+            params, K, Kinv, stack, feats, fnew, curr_pf_slot)
+
+    rep = P()
+    fshard_tree = jax.tree_util.tree_map(
+        lambda _: P(AXIS), pipeline.empty_features(params.feature_capacity))
+    curr_shard = pipeline.CurrFeatures(
+        xy=P(AXIS), idepth=P(AXIS), var=P(AXIS), valid=P(AXIS))
+    obs_shard = pipeline.TrackObs(success=P(AXIS), u_ref=P(AXIS),
+                                  u_obs=P(AXIS), idepth=P(AXIS), var=P(AXIS))
+
+    stack_rep = jax.tree_util.tree_map(
+        lambda _: P(), FrameStack(*[0] * len(FrameStack._fields)))
+    frame_rep = jax.tree_util.tree_map(
+        lambda _: P(), Frame(*[0] * len(Frame._fields)))
+
+    tracked = jax.shard_map(
+        track_body, mesh=mesh,
+        in_specs=(rep, rep, stack_rep, fshard_tree, frame_rep, rep),
+        out_specs=(fshard_tree, curr_shard, P(AXIS), P(AXIS), obs_shard))
+
+    def step(K, Kinv, stack, feats, fnew, curr_pf_slot, graph):
+        feats2, curr, member, stats, _obs = tracked(K, Kinv, stack, feats,
+                                                    fnew, curr_pf_slot)
+        graph2 = sharded_smooth(params.rparams, graph,
+                                params.solver.n_iters_per_frame, mesh)
+        stats = jnp.sum(stats.reshape(n_dev, -1), axis=0)
+        return feats2, curr, member, graph2, stats
+
+    return jax.jit(step)

@@ -110,6 +110,10 @@ class BAParams:
     damping: float = 1e-4  # Levenberg-Marquardt damping.
     huber_delta: float = 2.0  # Huber robust loss width (pixels).
     obs_capacity: int = 16384  # Fixed observation buffer size.
+    # Quadratic prior anchoring each pose to its input value (px^2 per
+    # (m|rad)^2): BA refines within the external estimator's uncertainty
+    # instead of free-floating on match noise. 0 disables.
+    pose_prior_weight: float = 1e4
 
 
 @dataclass(frozen=True)

@@ -95,3 +95,28 @@ def test_rotation_angle():
     assert abs(float(se3.rotation_angle(q)) - angle) < 1e-6
     # Same rotation, negated quaternion.
     assert abs(float(se3.rotation_angle(-q)) - angle) < 1e-6
+
+
+def test_log_small_angle_f32_stable():
+    """Regression: log() of a near-identity transform must not blow up.
+    The direct V^-1 coefficient contains 1-cos(theta), which loses all f32
+    mantissa bits below theta ~ 3e-4 (this once produced 1e12 pose-prior
+    residuals in BA)."""
+    for eps in (1e-3, 3e-4, 1e-4, 1e-5, 1e-6):
+        q = jnp.array([1.0, eps, eps / 2, -eps / 3])
+        q = se3.quat_normalize(q)
+        t = jnp.array([0.1, -0.05, 0.02])
+        xi = np.asarray(se3.log((q, t)))
+        assert np.all(np.abs(xi[:3]) < 1.0), (eps, xi)
+        # Round trip.
+        q2, t2 = se3.exp(jnp.asarray(xi))
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(t), atol=1e-5)
+
+
+def test_exp_log_mid_angles(rng):
+    """Angles around the series/direct switch point (0.03 rad)."""
+    for scale in (0.01, 0.03, 0.05, 0.2):
+        xi = scale * rng.normal(size=(16, 6)).astype(np.float32)
+        T = se3.exp(jnp.asarray(xi))
+        xi2 = np.asarray(se3.log(T))
+        np.testing.assert_allclose(xi2, xi, atol=5e-5)
