@@ -51,7 +51,8 @@ def main():
     def render(cam_x):
         X = (uu - W / 2) * PLANE_Z / FX + cam_x
         Y = (vv - H / 2) * PLANE_Z / FX
-        return tex(X, Y).astype(np.float32)
+        # uint8 like a real camera: 4x less host->device upload traffic.
+        return np.clip(tex(X, Y), 0, 255).astype(np.uint8)
 
     params = Params(
         feature_capacity=4096, edge_capacity=16384, triangle_capacity=12288,
@@ -59,7 +60,8 @@ def main():
         min_height=-1e6, max_height=1e6,
         idepth_init=0.05,
         detection=DetectionParams(win_size=16),
-        solver=SolverParams(n_iters_per_frame=60, max_vertex_degree=16),
+        solver=SolverParams(n_iters_per_frame=60, max_vertex_degree=16,
+                            async_topology=True),
         debug_quiet=True)
 
     K = camera.make_k(FX, FX, W / 2, H / 2)

@@ -80,8 +80,6 @@ class Flame:
 
         # Host bookkeeping. Mirrors avoid per-frame blocking device reads
         # (each one costs a full round trip through the device tunnel).
-        self._edge_codes = None  # sorted pair codes of the live edge set
-        self._edge_slots = None  # edge slot per sorted code
         self._feat_valid_np = np.zeros(N, bool)  # host mirror of feats.valid
         self._n_valid = 0
         self._feat_id_counter = 0  # globally-unique feature id allocator
@@ -92,6 +90,10 @@ class Flame:
         self._fnew = None
         self._fprev = None
         self._pending: list = []  # staged detections: (xy np, pf_slot)
+        # (tris_dev, n_tris, tris_np, edges_np) staged for async topology.
+        self._staged_tris = None
+        self._packed_pending = None  # in-flight packed track transfer
+        self._n_members = 0
         self._last_stats_dev = jnp.zeros(pipeline.N_STATS, jnp.int32)
         self._last_track_obs = None
 
@@ -137,6 +139,18 @@ class Flame:
             self.stats.tock("update")
             return False
 
+        # Async pipelining: consume the PREVIOUS frame's packed transfer
+        # (issued a frame ago, long complete) and triangulate it now. This
+        # removes every blocking device round-trip from the steady-state
+        # frame — the TPU analogue of the reference's thread pipelining
+        # (update/detection/graph threads, flame.cc:98-116).
+        if p.solver.async_topology and self._packed_pending is not None:
+            pk = self._packed_pending
+            self._packed_pending = None
+            if not self._consume_packed(np.asarray(pk)):
+                self.stats.tock("update")
+                return False
+
         # Bootstrap detection (reference flame.cc:174-242): first poseframe
         # with no features yet.
         if (not self.inited and is_poseframe and self._n_valid == 0
@@ -161,70 +175,37 @@ class Flame:
         self._last_stats_dev = stat_vec  # fetched lazily by failure_stats()
         self.stats.tock("update_idepths")
 
-        # One packed device->host transfer for everything the host needs.
-        packed = np.asarray(pipeline.pack_track_outputs(feats, curr, member))
-        curr_xy_np = packed[:, :2]
-        member_np = packed[:, 2] > 0
-        self._feat_valid_np = packed[:, 4] > 0
-        self._n_valid = int(self._feat_valid_np.sum())
-
-        n_valid = int((packed[:, 3] > 0).sum())
-        if n_valid < 3:
-            if not p.debug_quiet:
-                print(f"flame_tpu: too few features ({n_valid}); clearing")
-            self.clear()
-            self.stats.tock("update")
-            return False
-
-        # --- Host Delaunay over graph members (reference syncGraph
-        # :2051-2073 + triangulate :2190-2205). ---
-        self.stats.tick("triangulate")
-        member_slots = np.nonzero(member_np)[0]
-        if member_slots.shape[0] < 3:
-            self.stats.tock("triangulate")
-            self.stats.tock("update")
-            return False
-        tri = delaunay.triangulate(curr_xy_np[member_slots])
-        self.stats.tock("triangulate")
-
-        # --- Edge arrays in slot space with dual carry-over. ---
-        self.stats.tick("sync_graph")
-        tris_slots = member_slots[tri.triangles]  # (T, 3)
-        edges_slots = member_slots[tri.edges]  # (E, 2)
-        self._build_graph_arrays(tris_slots, edges_slots, curr_xy_np)
-
-        # After a checkpoint restore _fprev can be missing for one frame;
-        # identity geometry makes the graph x-projection a no-op.
-        fprev = self._fprev if self._fprev is not None else self._fnew
-        geo_p2n = _load_rel(self.K, self.Kinv,
-                            (fprev.q, fprev.t), (self._fnew.q, self._fnew.t))
-
-        self._graph = pipeline.graph_sync(
-            p, self.K, self.Kinv, self._graph, self._graph.vtx_mask, member,
-            curr, geo_p2n, jnp.float32(self.graph_scale),
-            self._edges_dev, self._alpha_dev, self._edge_mask_dev,
-            self._carry_dev, self._inc_edge_dev, self._inc_sign_dev)
-        self.stats.tock("sync_graph")
-
-        # --- Smoothing (reference graph thread; here a fixed budget). ---
-        if p.do_nltgv2:
-            self.stats.tick("regularize")
-            self._graph = nltgv2.smooth(p.rparams, self._graph,
-                                        p.solver.n_iters_per_frame,
-                                        use_incidence=True)
-            self.num_regularizer_updates += p.solver.n_iters_per_frame
-            self.stats.tock("regularize")
+        packed_dev = pipeline.pack_track_outputs(feats, curr, member)
+        if p.solver.async_topology:
+            # Stage the fetch; it completes during the device work below and
+            # is consumed at the next update.
+            try:
+                packed_dev.copy_to_host_async()
+            except Exception:
+                pass
+            self._packed_pending = packed_dev
+            if self._staged_tris is not None:
+                self.stats.tick("sync_graph")
+                tris_dev, n_tris, tris_np, edges_np = self._staged_tris
+                self._tris_np = tris_np
+                self._edges_np = edges_np
+                self._n_edges = edges_np.shape[0]
+                self._n_tris = n_tris
+                self._run_post_delaunay(member, curr, tris_dev, n_tris)
+                self.stats.tock("sync_graph")
         else:
-            self._graph = self._graph._replace(
-                x=self._graph.data_term)
-
-        # --- Mesh outputs: one fused dispatch (reference flame.cc:353-415).
-        self.stats.tick("interpolate")
-        (self._vtx_idepths, self._vtx_normals, self._tri_validity,
-         self._idepthmap) = pipeline.mesh_outputs(
-            p, self.K, self.Kinv, self.width, self.height, self._graph,
-            self._tris, self._tri_mask, jnp.float32(self.graph_scale))
-        self.stats.tock("interpolate")
+            # Synchronous: fetch, triangulate, and run in-frame.
+            if not self._consume_packed(np.asarray(packed_dev)):
+                self.stats.tock("update")
+                return False
+            tris_dev, n_tris, tris_np, edges_np = self._staged_tris
+            self.stats.tick("sync_graph")
+            self._tris_np = tris_np
+            self._edges_np = edges_np
+            self._n_edges = edges_np.shape[0]
+            self._n_tris = n_tris
+            self._run_post_delaunay(member, curr, tris_dev, n_tris)
+            self.stats.tock("sync_graph")
 
         if is_poseframe:
             self._stack = frame_mod.set_idepthmap(
@@ -245,7 +226,7 @@ class Flame:
         self._coverage = jnp.mean((~jnp.isnan(self._idepthmap))
                                   .astype(jnp.float32))
         self.stats.set("num_feats", self._n_valid)
-        self.stats.set("num_vtx", int(member_np.sum()))
+        self.stats.set("num_vtx", getattr(self, "_n_members", 0))
         self.stats.set("num_tris", int(self._n_tris))
         self.stats.set("num_edges", int(self._n_edges))
 
@@ -261,6 +242,58 @@ class Flame:
     # Host helpers.
     # ------------------------------------------------------------------
 
+    def _consume_packed(self, packed: np.ndarray) -> bool:
+        """Digest a packed track transfer: update host mirrors, run the
+        too-few-features lifecycle checks, triangulate the member set, and
+        stage the triangle upload. Returns False when the frame cannot
+        proceed (reference flame.cc:281-290 / syncGraph early-outs)."""
+        p = self.params
+        curr_xy_np = packed[:, :2]
+        member_np = packed[:, 2] > 0
+        self._feat_valid_np = packed[:, 4] > 0
+        self._n_valid = int(self._feat_valid_np.sum())
+        self._n_members = int(member_np.sum())
+
+        n_valid = int((packed[:, 3] > 0).sum())
+        if n_valid < 3:
+            if not p.debug_quiet:
+                print(f"flame_tpu: too few features ({n_valid}); clearing")
+            self.clear()
+            return False
+
+        member_slots = np.nonzero(member_np)[0]
+        if member_slots.shape[0] < 3:
+            return False
+        self.stats.tick("triangulate")
+        tri = delaunay.triangulate(curr_xy_np[member_slots])
+        self.stats.tock("triangulate")
+
+        tris_slots = member_slots[tri.triangles]
+        T_cap = p.triangle_capacity
+        if tris_slots.shape[0] > T_cap:
+            tris_slots = tris_slots[:T_cap]
+        tris_full = np.zeros((T_cap, 3), np.int16)
+        tris_full[: tris_slots.shape[0]] = tris_slots
+        self._staged_tris = (jnp.asarray(tris_full), tris_slots.shape[0],
+                             tris_slots, member_slots[tri.edges])
+        return True
+
+    def _run_post_delaunay(self, member, curr, tris_dev, n_tris: int):
+        """Dispatch the fused topology+sync+smooth+mesh step."""
+        p = self.params
+        fprev = self._fprev if self._fprev is not None else self._fnew
+        geo_p2n = _load_rel(self.K, self.Kinv,
+                            (fprev.q, fprev.t), (self._fnew.q, self._fnew.t))
+        (self._graph, self._vtx_idepths, self._vtx_normals,
+         self._tri_validity, self._idepthmap) = pipeline.post_delaunay_step(
+            p, self.K, self.Kinv, self._graph, member, curr, geo_p2n,
+            jnp.float32(self.graph_scale), tris_dev,
+            jnp.int32(n_tris), self.width, self.height)
+        self._tris = tris_dev.astype(jnp.int32)
+        self._tri_mask = jnp.arange(tris_dev.shape[0]) < n_tris
+        if p.do_nltgv2:
+            self.num_regularizer_updates += p.solver.n_iters_per_frame
+
     def _alloc_pf_slot(self, frame_id: int) -> int:
         if self._pf_free:
             return self._pf_free.pop()
@@ -275,62 +308,6 @@ class Flame:
         (reference flame.cc:428-437)."""
         return float(self._coverage) if self._coverage is not None else 0.0
 
-    def _build_graph_arrays(self, tris_slots, edges_slots, curr_xy_np):
-        """Pad triangles/edges into capacity arrays; carry duals for edges
-        whose (i, j) pair survived retriangulation."""
-        p = self.params
-        E_cap, T_cap = p.edge_capacity, p.triangle_capacity
-        N = p.feature_capacity
-
-        # Normalize pairs (i < j).
-        e = np.sort(edges_slots.astype(np.int64), axis=1)
-        if e.shape[0] > E_cap:
-            e = e[:E_cap]
-        if tris_slots.shape[0] > T_cap:
-            tris_slots = tris_slots[:T_cap]
-
-        # Dual carry-over via sorted pair codes (vectorized dict lookup).
-        codes = e[:, 0] * N + e[:, 1]
-        carry = np.full(E_cap, -1, np.int32)
-        if self._edge_codes is not None and codes.shape[0] > 0:
-            pos = np.searchsorted(self._edge_codes, codes)
-            pos_c = np.minimum(pos, self._edge_codes.shape[0] - 1)
-            match = self._edge_codes[pos_c] == codes
-            carry[: codes.shape[0]] = np.where(
-                match, self._edge_slots[pos_c], -1)
-        order = np.argsort(codes, kind="stable")
-        self._edge_codes = codes[order]
-        self._edge_slots = np.arange(codes.shape[0], dtype=np.int32)[order]
-
-        edges_full = np.zeros((E_cap, 2), np.int32)
-        edges_full[:e.shape[0]] = e
-        emask = np.zeros(E_cap, bool)
-        emask[:e.shape[0]] = True
-        lengths = np.linalg.norm(
-            curr_xy_np[edges_full[:, 0]] - curr_xy_np[edges_full[:, 1]],
-            axis=1)
-        alpha = np.where(lengths > 1e-6, 1.0 / np.maximum(lengths, 1e-6), 0.0)
-
-        inc_edge, inc_sign = nltgv2.build_incidence(edges_full, emask, N,
-                                                    p.solver.max_vertex_degree)
-
-        tris_full = np.zeros((T_cap, 3), np.int32)
-        tris_full[:tris_slots.shape[0]] = tris_slots
-        tmask = np.zeros(T_cap, bool)
-        tmask[:tris_slots.shape[0]] = True
-
-        self._edges_np = edges_full
-        self._n_edges = e.shape[0]
-        self._n_tris = tris_slots.shape[0]
-        self._edges_dev = jnp.asarray(edges_full)
-        self._alpha_dev = jnp.asarray(alpha.astype(np.float32))
-        self._edge_mask_dev = jnp.asarray(emask)
-        self._carry_dev = jnp.asarray(carry)
-        self._inc_edge_dev = jnp.asarray(inc_edge)
-        self._inc_sign_dev = jnp.asarray(inc_sign)
-        self._tris = jnp.asarray(tris_full)
-        self._tri_mask = jnp.asarray(tmask)
-
     def _detect_on_poseframe(self, pf_slot: int):
         """Run grid detection on a poseframe vs the previous frame, staging
         winners for the next update (reference detectFeatures
@@ -343,24 +320,32 @@ class Flame:
                         (self._stack.q[pf_slot], self._stack.t[pf_slot]),
                         (self._fprev.q, self._fprev.t))
         row_offset = self.height // 3 if p.detection.do_letterbox else 0
-        # One fused dispatch + one transfer.
-        out = np.asarray(detection.detect_packed(
+        # One fused dispatch; the transfer is staged and consumed at the
+        # next update's drain (detections always take effect a frame later
+        # anyway, matching the reference's detection thread).
+        out_dev = detection.detect_packed(
             geo, self._stack.gradx[pf_slot], self._stack.grady[pf_slot],
             self._curr.xy, self._curr.valid, p.detection.min_grad_mag,
-            p.detection.win_size, p.border, row_offset))
-        take = out[:, 2] > 0
-        if not take.any():
-            return
-        self._pending.append((out[take, :2].astype(np.float32), pf_slot))
+            p.detection.win_size, p.border, row_offset)
+        try:
+            out_dev.copy_to_host_async()
+        except Exception:
+            pass
+        self._pending.append((out_dev, pf_slot))
 
     def _drain_pending(self):
         if not self._pending:
             return
         p = self.params
         free = np.nonzero(~self._feat_valid_np)[0]
-        for xy, pf_slot in self._pending:
+        for out, pf_slot in self._pending:
             if free.shape[0] == 0:
                 break
+            out = np.asarray(out)  # staged transfer; complete by now
+            take = out[:, 2] > 0
+            if not take.any():
+                continue
+            xy = out[take, :2].astype(np.float32)
             n = min(xy.shape[0], free.shape[0], self._add_cap)
             slots = np.zeros(self._add_cap, np.int32)
             slots[:n] = free[:n]
@@ -460,9 +445,9 @@ class Flame:
             var=jnp.zeros(p.feature_capacity),
             valid=jnp.zeros(p.feature_capacity, bool))
         self._tri_mask = jnp.zeros_like(self._tri_mask)
-        self._edge_codes = None
-        self._edge_slots = None
         self._pending = []
+        self._staged_tris = None
+        self._packed_pending = None
         self._feat_valid_np = np.zeros(p.feature_capacity, bool)
         self._n_valid = 0
 

@@ -284,20 +284,17 @@ def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
     return feats3, curr, member, stats, obs
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def graph_sync(params: Params, K, Kinv, graph: nltgv2.GraphState,
-               prev_in_graph, member, curr: CurrFeatures,
-               geo_prev_to_new: epipolar.EpiGeo, graph_scale,
-               edges, alpha, edge_mask, q_carry_perm,
-               inc_edge, inc_sign):
+def _graph_sync_inner(params: Params, graph: nltgv2.GraphState,
+                      prev_in_graph, member, curr: CurrFeatures,
+                      geo_prev_to_new: epipolar.EpiGeo, graph_scale,
+                      topo):
     """Synchronize the solver graph with the tracked features
     (reference projectGraph flame.cc:1862-1938 + syncGraph :1940-2163).
 
     prev_in_graph: (N,) bool — membership before this frame.
     member: (N,) bool — membership after gating.
-    edges/alpha/edge_mask: host-built edge arrays in feature-slot space.
-    q_carry_perm: (E,) int32 — previous edge slot whose duals carry over,
-    -1 for brand-new edges (reference flame.cc:2094-2104 keeps duals on
+    topo: optimize.topology.Topology with the new edge set and duals
+    already carried over (reference flame.cc:2094-2104 keeps duals on
     surviving vertex pairs).
     """
     # Project surviving vertices' smoothed idepth into the new frame
@@ -325,14 +322,6 @@ def graph_sync(params: Params, K, Kinv, graph: nltgv2.GraphState,
     w1_bar = jnp.where(new_member, 0.0, graph.w1_bar)
     w2_bar = jnp.where(new_member, 0.0, graph.w2_bar)
 
-    # Dual carry-over.
-    carried = q_carry_perm >= 0
-    perm = jnp.maximum(q_carry_perm, 0)
-    q1 = jnp.where(carried, graph.q1[perm], 0.0)
-    q2 = jnp.where(carried, graph.q2[perm], 0.0)
-    q3 = jnp.where(carried, graph.q3[perm], 0.0)
-
-    E = edges.shape[0]
     return graph._replace(
         pos=jnp.where(member[:, None], curr.xy, graph.pos),
         x=jnp.where(member, x, 0.0),
@@ -344,14 +333,60 @@ def graph_sync(params: Params, K, Kinv, graph: nltgv2.GraphState,
         data_term=jnp.where(member, data_term, 0.0),
         data_weight=weight,
         vtx_mask=member,
-        edges=edges,
-        alpha=jnp.where(edge_mask, alpha, 0.0),
-        beta=jnp.where(edge_mask, 1.0, 0.0),
-        q1=jnp.where(edge_mask, q1, 0.0),
-        q2=jnp.where(edge_mask, q2, 0.0),
-        q3=jnp.where(edge_mask, q3, 0.0),
-        edge_mask=edge_mask,
-        inc_edge=inc_edge, inc_sign=inc_sign)
+        edges=topo.edges,
+        alpha=topo.alpha,
+        beta=jnp.where(topo.edge_mask, 1.0, 0.0),
+        q1=topo.q1, q2=topo.q2, q3=topo.q3,
+        edge_mask=topo.edge_mask,
+        inc_edge=topo.inc_edge, inc_sign=topo.inc_sign)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "width", "height"))
+def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
+                       member, curr: CurrFeatures,
+                       geo_prev_to_new: epipolar.EpiGeo, graph_scale,
+                       tris, n_tris, width: int, height: int):
+    """Everything between host Delaunay and the next frame, fused into ONE
+    dispatch: device-side edge topology + dual carry (from the uploaded
+    triangle array alone), graph synchronization, K smoothing iterations,
+    and mesh outputs. Returns (graph', vtx_idepths, normals, tri_validity,
+    idepthmap)."""
+    from flame_tpu.optimize import topology as topo_mod
+
+    V = graph.x.shape[0]
+    E = graph.q1.shape[0]
+    D = graph.inc_edge.shape[1]
+
+    topo = topo_mod.from_triangles(
+        tris, n_tris, curr.xy, graph.edges, graph.edge_mask,
+        graph.q1, graph.q2, graph.q3, E, V, D)
+
+    # Under async topology the triangle set lags membership by one frame;
+    # mask out edges touching vertices that left the graph.
+    edge_ok = topo.edge_mask & member[topo.edges[:, 0]] \
+        & member[topo.edges[:, 1]]
+    topo = topo._replace(edge_mask=edge_ok,
+                         alpha=jnp.where(edge_ok, topo.alpha, 0.0),
+                         q1=jnp.where(edge_ok, topo.q1, 0.0),
+                         q2=jnp.where(edge_ok, topo.q2, 0.0),
+                         q3=jnp.where(edge_ok, topo.q3, 0.0))
+
+    graph = _graph_sync_inner(params, graph, graph.vtx_mask, member, curr,
+                              geo_prev_to_new, graph_scale, topo)
+
+    if params.do_nltgv2:
+        graph = nltgv2.smooth(params.rparams, graph,
+                              params.solver.n_iters_per_frame,
+                              use_incidence=True)
+    else:
+        graph = graph._replace(x=graph.data_term)
+
+    tris32 = tris.astype(jnp.int32)
+    tri_mask = (jnp.arange(tris.shape[0]) < n_tris) \
+        & jnp.all(member[tris32], axis=1)
+    outs = mesh_outputs(params, K, Kinv, width, height, graph,
+                        tris32, tri_mask, graph_scale)
+    return (graph,) + outs
 
 
 @jax.jit

@@ -263,10 +263,100 @@ def step(p: RegularizerParams, g: GraphState,
     return _extragradient_step(p, g, x_prev, w1_prev, w2_prev)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "n_iters", "use_incidence"))
+def _smooth_stacked(p: RegularizerParams, g: GraphState,
+                    n_iters: int) -> GraphState:
+    """K iterations with the per-edge vertex reads STACKED into one (V, 8)
+    matrix so each iteration does exactly two row gathers and two row
+    segment-sums.
+
+    TPU XLA lowers each 1-D gather/scatter to roughly the same cost as an
+    8-column row gather (~0.1 ms at V=4k/E=16k on v5e), so the naive
+    field-per-field formulation (~15 gathers/iter) runs ~10x slower than
+    this one. Edge geometry (dx, dy, alpha) is loop-invariant and hoisted.
+    """
+    V = g.x.shape[0]
+    ii = g.edges[:, 0]
+    jj = g.edges[:, 1]
+
+    # Loop-invariant per-edge quantities.
+    dx = g.pos[ii, 0] - g.pos[jj, 0]
+    dy = g.pos[ii, 1] - g.pos[jj, 1]
+    alpha = jnp.where(g.edge_mask, g.alpha, 0.0)
+    beta = jnp.where(g.edge_mask, g.beta, 0.0)
+    sxa = p.step_x * alpha
+    sxb = p.step_x * beta
+    qa = p.step_q * alpha
+    qb = p.step_q * beta
+    vmask = g.vtx_mask
+    weight = p.data_factor * g.data_weight
+    zcol = jnp.zeros((V,), jnp.float32)
+
+    def pack(x_bar, w1_bar, w2_bar):
+        return jnp.stack(
+            [x_bar, w1_bar, w2_bar, zcol, zcol, zcol, zcol, zcol], axis=1)
+
+    def body(_, state):
+        x, w1, w2, VB, q1, q2, q3 = state
+        x_prev, w1_prev, w2_prev = x, w1, w2
+
+        gi = VB[ii]  # (E, 8)
+        gj = VB[jj]
+
+        # Dual ascent (reference .cc:89-114).
+        K1 = (gi[:, 0] - gj[:, 0]) - dx * gi[:, 1] - dy * gi[:, 2]
+        nq1 = _prox_nltgv2_conj(q1 + qa * K1)
+        nq2 = _prox_nltgv2_conj(q2 + qb * (gi[:, 1] - gj[:, 1]))
+        nq3 = _prox_nltgv2_conj(q3 + qb * (gi[:, 2] - gj[:, 2]))
+
+        # Primal descent contributions (reference .cc:116-142).
+        Ci = jnp.stack([-nq1 * sxa,
+                        nq1 * sxa * dx - nq2 * sxb,
+                        nq1 * sxa * dy - nq3 * sxb], axis=1)  # (E, 3)
+        Cj = jnp.stack([nq1 * sxa, nq2 * sxb, nq3 * sxb], axis=1)
+
+        Si = jax.ops.segment_sum(Ci, ii, num_segments=V)  # (V, 3)
+        Sj = jax.ops.segment_sum(Cj, jj, num_segments=V)
+
+        nx = x + Si[:, 0] + Sj[:, 0]
+        nw1 = w1 + Si[:, 1] + Sj[:, 1]
+        nw2 = w2 + Si[:, 2] + Sj[:, 2]
+
+        nx = _prox_l1(p.x_min, p.x_max, p.step_x, weight, nx, g.data_term)
+        nx = jnp.where(vmask, nx, x)
+        nw1 = jnp.where(vmask, nw1, w1)
+        nw2 = jnp.where(vmask, nw2, w2)
+
+        # Extragradient (reference .cc:156-174).
+        x_bar = jnp.clip(nx + p.theta * (nx - x_prev), p.x_min, p.x_max)
+        w1_bar = nw1 + p.theta * (nw1 - w1_prev)
+        w2_bar = nw2 + p.theta * (nw2 - w2_prev)
+
+        return (nx, nw1, nw2, pack(x_bar, w1_bar, w2_bar), nq1, nq2, nq3)
+
+    init = (g.x, g.w1, g.w2, pack(g.x_bar, g.w1_bar, g.w2_bar),
+            g.q1, g.q2, g.q3)
+    x, w1, w2, VB, q1, q2, q3 = jax.lax.fori_loop(0, n_iters, body, init)
+    em = g.edge_mask
+    return g._replace(x=x, w1=w1, w2=w2,
+                      x_bar=VB[:, 0], w1_bar=VB[:, 1], w2_bar=VB[:, 2],
+                      q1=jnp.where(em, q1, 0.0),
+                      q2=jnp.where(em, q2, 0.0),
+                      q3=jnp.where(em, q3, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("p", "n_iters", "use_incidence",
+                                             "stacked"))
 def smooth(p: RegularizerParams, g: GraphState, n_iters: int,
-           use_incidence: bool = False) -> GraphState:
-    """Run n_iters iterations fused into one XLA computation."""
+           use_incidence: bool = False, stacked: bool = True) -> GraphState:
+    """Run n_iters iterations fused into one XLA computation.
+
+    stacked=True (default) uses the gather-minimized hot loop; the
+    field-per-field step() implementations remain as the reference
+    semantics for tests and for the sharded variant.
+    """
+    if stacked:
+        return _smooth_stacked(p, g, n_iters)
+
     def body(_, gg):
         return step(p, gg, use_incidence=use_incidence)
     return jax.lax.fori_loop(0, n_iters, body, g)

@@ -1,0 +1,123 @@
+"""Device-side graph topology: edges, dual carry-over, incidence tables —
+all derived from the (host-uploaded) triangle list.
+
+The reference rebuilds its Boost edge set with hash-map surgery on the
+host every frame (flame.cc:2075-2121); the first flame_tpu version did the
+same in numpy and uploaded ~1 MB of edge/incidence arrays per frame —
+expensive through a tunneled device. Here the host uploads ONLY the
+triangle array (int16 slot indices) and the device derives:
+
+  * the unique undirected edge set, canonicalized (lo, hi) and stored in
+    sorted-code order (sort + adjacent-unique + scatter-by-rank),
+  * dual-variable carry-over for edges whose vertex pair survived the
+    retriangulation (binary search of new codes in the previous frame's
+    sorted codes — reference flame.cc:2094-2104 semantics),
+  * per-edge alpha = 1/length from current vertex positions, and
+  * the [V, D] incidence table for the gather-based primal step.
+
+Everything is fixed-shape and fuses into the per-frame post-Delaunay jit.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Topology(NamedTuple):
+    edges: jax.Array  # (E, 2) int32 canonical (lo, hi), sorted by code
+    alpha: jax.Array  # (E,) 1/length, 0 when invalid
+    edge_mask: jax.Array  # (E,) bool
+    q1: jax.Array  # (E,) carried duals (0 for new edges)
+    q2: jax.Array
+    q3: jax.Array
+    inc_edge: jax.Array  # (V, D) int32
+    inc_sign: jax.Array  # (V, D) float32
+    n_edges: jax.Array  # () int32
+
+
+def _edge_codes(edges, edge_mask, v_cap):
+    big = jnp.int32(v_cap * v_cap)
+    code = edges[:, 0] * v_cap + edges[:, 1]
+    return jnp.where(edge_mask, code, big)
+
+
+@functools.partial(jax.jit, static_argnames=("e_cap", "v_cap", "degree"))
+def from_triangles(tris, n_tris, pos, prev_edges, prev_edge_mask,
+                   prev_q1, prev_q2, prev_q3,
+                   e_cap: int, v_cap: int, degree: int) -> Topology:
+    """Build the edge topology from a padded triangle array.
+
+    tris: (T, 3) integer vertex slots (any int dtype); n_tris: () count;
+    pos: (V, 2) current vertex positions; prev_*: previous frame's edge
+    arrays (in the sorted-code order this function produces).
+    """
+    T = tris.shape[0]
+    tris = tris.astype(jnp.int32)
+    tri_mask = jnp.arange(T) < n_tris
+    big = jnp.int32(v_cap * v_cap)
+
+    # Directed edges of every triangle -> canonical codes.
+    a = jnp.concatenate([tris[:, 0], tris[:, 1], tris[:, 2]])
+    b = jnp.concatenate([tris[:, 1], tris[:, 2], tris[:, 0]])
+    lo = jnp.minimum(a, b)
+    hi = jnp.maximum(a, b)
+    m3 = jnp.concatenate([tri_mask, tri_mask, tri_mask])
+    code = jnp.where(m3, lo * v_cap + hi, big)
+
+    scode = jnp.sort(code)
+    first = jnp.concatenate([jnp.array([True]), scode[1:] != scode[:-1]])
+    first = first & (scode < big)
+    rank = jnp.cumsum(first) - 1  # slot for each first occurrence
+    n_edges = jnp.sum(first).astype(jnp.int32)
+
+    # Scatter unique codes into (E,) slots; overflow and non-firsts drop.
+    slot = jnp.where(first & (rank < e_cap), rank, e_cap)
+    edge_codes = jnp.full((e_cap + 1,), big, jnp.int32)
+    edge_codes = edge_codes.at[slot].set(scode, mode="drop")[:e_cap]
+
+    edge_mask = edge_codes < big
+    lo_e = jnp.where(edge_mask, edge_codes // v_cap, 0)
+    hi_e = jnp.where(edge_mask, edge_codes % v_cap, 0)
+    edges = jnp.stack([lo_e, hi_e], axis=1).astype(jnp.int32)
+
+    # alpha = 1 / pixel length (reference flame.cc:2102).
+    d = pos[lo_e] - pos[hi_e]
+    length = jnp.sqrt(jnp.sum(d * d, axis=1))
+    alpha = jnp.where(edge_mask & (length > 1e-6),
+                      1.0 / jnp.maximum(length, 1e-6), 0.0)
+
+    # Dual carry-over: binary-search new codes in the previous sorted codes.
+    prev_codes = _edge_codes(prev_edges, prev_edge_mask, v_cap)
+    posn = jnp.searchsorted(prev_codes, edge_codes)
+    posn_c = jnp.minimum(posn, e_cap - 1)
+    match = (prev_codes[posn_c] == edge_codes) & edge_mask
+    q1 = jnp.where(match, prev_q1[posn_c], 0.0)
+    q2 = jnp.where(match, prev_q2[posn_c], 0.0)
+    q3 = jnp.where(match, prev_q3[posn_c], 0.0)
+
+    # Incidence table: sort (vertex, edge, sign) triples by vertex, rank
+    # within each group, scatter ranks < degree.
+    verts = jnp.concatenate([lo_e, hi_e])
+    eids = jnp.tile(jnp.arange(e_cap, dtype=jnp.int32), 2)
+    signs = jnp.concatenate([jnp.ones(e_cap, jnp.float32),
+                             -jnp.ones(e_cap, jnp.float32)])
+    vkey = jnp.where(jnp.concatenate([edge_mask, edge_mask]), verts,
+                     jnp.int32(v_cap))
+    order = jnp.argsort(vkey)
+    vs = vkey[order]
+    firstv = jnp.searchsorted(vs, vs)
+    rankv = jnp.arange(2 * e_cap) - firstv
+    keep = (rankv < degree) & (vs < v_cap)
+    islot = jnp.where(keep, vs * degree + rankv, v_cap * degree)
+    inc_edge = jnp.zeros((v_cap * degree + 1,), jnp.int32)
+    inc_edge = inc_edge.at[islot].set(eids[order], mode="drop")
+    inc_sign = jnp.zeros((v_cap * degree + 1,), jnp.float32)
+    inc_sign = inc_sign.at[islot].set(signs[order], mode="drop")
+
+    return Topology(edges=edges, alpha=alpha, edge_mask=edge_mask,
+                    q1=q1, q2=q2, q3=q3,
+                    inc_edge=inc_edge[:-1].reshape(v_cap, degree),
+                    inc_sign=inc_sign[:-1].reshape(v_cap, degree),
+                    n_edges=jnp.minimum(n_edges, e_cap))

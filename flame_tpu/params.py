@@ -97,6 +97,12 @@ class SolverParams:
 
     n_iters_per_frame: int = 60  # Chambolle-Pock iterations per update().
     max_vertex_degree: int = 16  # Capacity of the per-vertex incidence table.
+    # One-frame-lag triangulation: smooth on the previous frame's topology
+    # while the host triangulates the current one in parallel — the TPU
+    # analogue of the reference's free-running graph thread decoupling
+    # (flame.cc:98-112). Edges/triangles touching vertices that left the
+    # graph are masked out, so staleness is inert.
+    async_topology: bool = False
 
 
 @dataclass(frozen=True)

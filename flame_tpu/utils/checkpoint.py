@@ -42,9 +42,6 @@ def save(path: str, fl) -> None:
     arrays["vtx_normals"] = np.asarray(fl._vtx_normals)
     arrays["idepthmap"] = np.asarray(fl._idepthmap)
     arrays["edges_np"] = fl._edges_np
-    if fl._edge_codes is not None:
-        arrays["edge_codes"] = fl._edge_codes
-        arrays["edge_slots"] = fl._edge_slots
 
     header = {
         "width": fl.width, "height": fl.height,
@@ -102,8 +99,6 @@ def load(path: str, fl) -> None:
     fl._vtx_normals = jnp.asarray(data["vtx_normals"])
     fl._idepthmap = jnp.asarray(data["idepthmap"])
     fl._edges_np = data["edges_np"]
-    fl._edge_codes = data["edge_codes"] if "edge_codes" in data else None
-    fl._edge_slots = data["edge_slots"] if "edge_slots" in data else None
 
     fl.inited = bool(header["inited"])
     fl.num_imgs = int(header["num_imgs"])

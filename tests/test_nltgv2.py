@@ -161,3 +161,19 @@ def test_prox_dual_projection():
     out = nltgv2._prox_nltgv2_conj(jnp.array([0.5, -0.5, 3.0, -4.0]))
     np.testing.assert_allclose(np.asarray(out), [0.5, -0.5, 1.0, -1.0],
                                atol=1e-6)
+
+
+def test_stacked_matches_reference_step():
+    """The gather-minimized stacked hot loop must agree with the
+    field-per-field reference implementation."""
+    p = RegularizerParams()
+    g, V, E = make_grid_graph(noise=0.35, seed=31)
+    g_ref = g
+    for _ in range(25):
+        g_ref = nltgv2.step(p, g_ref, use_incidence=False)
+    g_st = nltgv2.smooth(p, g, 25, stacked=True)
+    for name in ("x", "w1", "w2", "x_bar", "w1_bar", "w2_bar",
+                 "q1", "q2", "q3"):
+        np.testing.assert_allclose(np.asarray(getattr(g_st, name)),
+                                   np.asarray(getattr(g_ref, name)),
+                                   atol=2e-5, err_msg=name)
