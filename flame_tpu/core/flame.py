@@ -58,7 +58,8 @@ class Flame:
         self.num_imgs = 0
         self.num_data_updates = 0
         self.num_regularizer_updates = 0
-        self.graph_scale = 1.0
+        # Device-resident graph scale (renormalized when rescale_data).
+        self._graph_scale_dev = jnp.float32(1.0)
 
         N, E, T = p.feature_capacity, p.edge_capacity, p.triangle_capacity
         self._stack = frame_mod.empty_stack(p.poseframe_capacity, height,
@@ -285,9 +286,10 @@ class Flame:
         geo_p2n = _load_rel(self.K, self.Kinv,
                             (fprev.q, fprev.t), (self._fnew.q, self._fnew.t))
         (self._graph, self._vtx_idepths, self._vtx_normals,
-         self._tri_validity, self._idepthmap) = pipeline.post_delaunay_step(
+         self._tri_validity, self._idepthmap,
+         self._graph_scale_dev) = pipeline.post_delaunay_step(
             p, self.K, self.Kinv, self._graph, member, curr, geo_p2n,
-            jnp.float32(self.graph_scale), tris_dev,
+            self._graph_scale_dev, tris_dev,
             jnp.int32(n_tris), self.width, self.height)
         self._tris = tris_dev.astype(jnp.int32)
         self._tri_mask = jnp.arange(tris_dev.shape[0]) < n_tris

@@ -71,9 +71,11 @@ def empty_stack(capacity: int, height: int, width: int, pad: int) -> FrameStack:
         valid=jnp.zeros((F,), bool))
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def insert(stack: FrameStack, slot, frame: Frame) -> FrameStack:
-    """Write a frame into a poseframe slot."""
+    """Write a frame into a poseframe slot. The stack argument is donated:
+    the ~100 MB of per-slot image/gradient planes update in place instead
+    of copying the whole stack every poseframe."""
     slot = jnp.asarray(slot, jnp.int32)
     H, W = stack.gradx.shape[1:]
     return stack._replace(
@@ -87,7 +89,7 @@ def insert(stack: FrameStack, slot, frame: Frame) -> FrameStack:
         valid=stack.valid.at[slot].set(True))
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def set_idepthmap(stack: FrameStack, slot, idepthmap) -> FrameStack:
     return stack._replace(idepthmap=stack.idepthmap.at[slot].set(idepthmap))
 

@@ -85,6 +85,94 @@ def _ensure_ccw(poly):
     return poly if signed >= 0 else poly[::-1]
 
 
+class KeyframeSelector:
+    """Pool-managing keyframe selection (reference
+    KeyFrameSelector::select, keyframe_selector.cc:73-122; unused by the
+    reference's own pipeline, provided for API parity).
+
+    select() returns the index into the pool of the best-scoring keyframe
+    for the new pose (-1 when the pool is empty), and adds the new frame
+    to the pool when it has moved more than new_kf_thresh from the last
+    keyframe (evicting the oldest beyond max_kfs). NOTE: the reference
+    decrements the returned index unconditionally after adding a keyframe
+    (keyframe_selector.cc:121) even when no eviction shifted the pool; we
+    decrement only when the pool actually shifted.
+    """
+
+    def __init__(self, K, max_kfs: int = 10, new_kf_thresh: float = 0.1):
+        self.K = np.asarray(K, np.float64)
+        self.Kinv = np.linalg.inv(self.K)
+        self.max_kfs = max_kfs
+        self.new_kf_thresh = new_kf_thresh
+        self.times: list = []
+        self.imgs: list = []
+        self.poses: list = []  # (q wxyz, t) camera-to-world
+
+    @staticmethod
+    def _relative(q_a, t_a, q_b, t_b):
+        """new-to-ref transform: T_a^-1 * T_b as (q, t) numpy."""
+        qa = np.asarray(q_a, np.float64)
+        w, x, y, z = qa
+        R_a = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+        qb = np.asarray(q_b, np.float64)
+        w2, x2, y2, z2 = qb
+        R_b = np.array([
+            [1 - 2 * (y2 * y2 + z2 * z2), 2 * (x2 * y2 - w2 * z2),
+             2 * (x2 * z2 + w2 * y2)],
+            [2 * (x2 * y2 + w2 * z2), 1 - 2 * (x2 * x2 + z2 * z2),
+             2 * (y2 * z2 - w2 * x2)],
+            [2 * (x2 * z2 - w2 * y2), 2 * (y2 * z2 + w2 * x2),
+             1 - 2 * (x2 * x2 + y2 * y2)]])
+        R = R_a.T @ R_b
+        t = R_a.T @ (np.asarray(t_b, np.float64) - np.asarray(t_a, np.float64))
+        # Rotation matrix -> quaternion (wxyz).
+        tr = np.trace(R)
+        if tr > 0:
+            s = 2 * np.sqrt(tr + 1)
+            q = np.array([s / 4, (R[2, 1] - R[1, 2]) / s,
+                          (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+        else:
+            i = int(np.argmax(np.diag(R)))
+            j, k = (i + 1) % 3, (i + 2) % 3
+            s = 2 * np.sqrt(max(1 + R[i, i] - R[j, j] - R[k, k], 1e-12))
+            q = np.zeros(4)
+            q[0] = (R[k, j] - R[j, k]) / s
+            q[1 + i] = s / 4
+            q[1 + j] = (R[j, i] + R[i, j]) / s
+            q[1 + k] = (R[k, i] + R[i, k]) / s
+        return q / np.linalg.norm(q), t
+
+    def select(self, new_time: float, new_img, new_pose) -> int:
+        q_new, t_new = new_pose
+        h, w = np.asarray(new_img).shape[:2]
+        best_idx, best_score = -1, -np.inf
+        for i, (q_kf, t_kf) in enumerate(self.poses):
+            q_rel, t_rel = self._relative(q_kf, t_kf, q_new, t_new)
+            s = score(w, h, self.K, self.Kinv, q_rel, t_rel)
+            if s > best_score:
+                best_score, best_idx = s, i
+        moved = (not self.poses or
+                 np.linalg.norm(np.asarray(t_new, np.float64)
+                                - np.asarray(self.poses[-1][1], np.float64))
+                 > self.new_kf_thresh)
+        if moved:
+            self.times.append(new_time)
+            self.imgs.append(new_img)
+            self.poses.append((np.asarray(q_new), np.asarray(t_new)))
+            if len(self.times) > self.max_kfs:
+                self.times.pop(0)
+                self.imgs.pop(0)
+                self.poses.pop(0)
+                best_idx -= 1
+        return best_idx
+
+    def get_keyframe(self, idx: int):
+        return self.times[idx], self.imgs[idx], self.poses[idx]
+
+
 def score(width: int, height: int, K: np.ndarray, Kinv: np.ndarray,
           q_new_to_ref: np.ndarray, t_new_to_ref: np.ndarray,
           min_depth: float = 1.0, max_depth: float = 50.0,

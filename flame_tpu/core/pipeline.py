@@ -113,6 +113,7 @@ def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
     pad = (fnew.img_pad.shape[0] - H) // 2
     fp = params.fparams
     border = params.border
+    row_offset = H // 3 if params.detection.do_letterbox else 0
     n_steps = line_stereo.n_steps_for(fp.epilength_max)
 
     q_new, t_new = fnew.q, fnew.t
@@ -120,7 +121,8 @@ def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
 
     def vr_contains(xy):
         return ((xy[..., 0] >= border) & (xy[..., 0] < W - border)
-                & (xy[..., 1] >= border) & (xy[..., 1] < H - border))
+                & (xy[..., 1] >= border + row_offset)
+                & (xy[..., 1] < H - border - row_offset))
 
     alive = feats.valid
 
@@ -266,6 +268,15 @@ def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
     member = final_valid & (feats3.idepth_var < params.idepth_var_max_graph) \
         & height_ok
 
+    if params.do_grad_check_after_projection:
+        # Drop members that project onto gradient-free image regions
+        # (reference projectGraph, flame.cc:1908-1918).
+        from flame_tpu.ops import interp as _interp
+        gx = _interp.bilinear(fnew.gradx, xy_cur[:, 0], xy_cur[:, 1])
+        gy = _interp.bilinear(fnew.grady, xy_cur[:, 0], xy_cur[:, 1])
+        member = member & (gx * gx + gy * gy
+                           >= params.min_grad_mag * params.min_grad_mag)
+
     # --- Failure stats.
     stats = jnp.zeros((N_STATS,), jnp.int32)
     stats = stats.at[STAT_UPDATES].set(jnp.sum(success))
@@ -311,6 +322,10 @@ def _graph_sync_inner(params: Params, graph: nltgv2.GraphState,
         (1.0 / jnp.maximum(curr.var, 1e-12))
         if params.adaptive_data_weights else jnp.ones_like(curr.var),
         0.0)
+    if params.rescale_data:
+        # Cumulative data_factor scaling (reference flame.cc:349) folds into
+        # the dynamic per-vertex weight: lambda_eff = data_factor * scale.
+        weight = weight * graph_scale
 
     x = jnp.where(new_member, data_term, x_surv)
     if params.check_sticky_obstacles:
@@ -374,6 +389,22 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
     graph = _graph_sync_inner(params, graph, graph.vtx_mask, member, curr,
                               geo_prev_to_new, graph_scale, topo)
 
+    if params.rescale_data:
+        # Renormalize the graph so x stays O(1) (reference flame.cc:328-351):
+        # new scale = mean raw idepth of the data terms; primal state and
+        # data terms divide by the ratio. The reference also scales
+        # data_factor cumulatively; here that folds into data_weight (see
+        # _graph_sync_inner).
+        cnt = jnp.maximum(jnp.sum(member.astype(jnp.float32)), 1.0)
+        new_scale = jnp.sum(jnp.where(member, graph.data_term, 0.0)) \
+            * graph_scale / cnt
+        new_scale = jnp.where(new_scale > 1e-8, new_scale, graph_scale)
+        ratio = graph_scale / new_scale
+        graph = graph._replace(
+            x=graph.x * ratio, x_bar=graph.x_bar * ratio,
+            data_term=graph.data_term * ratio)
+        graph_scale = new_scale
+
     if params.do_nltgv2:
         graph = nltgv2.smooth(params.rparams, graph,
                               params.solver.n_iters_per_frame,
@@ -386,7 +417,7 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
         & jnp.all(member[tris32], axis=1)
     outs = mesh_outputs(params, K, Kinv, width, height, graph,
                         tris32, tri_mask, graph_scale)
-    return (graph,) + outs
+    return (graph,) + outs + (jnp.asarray(graph_scale, jnp.float32),)
 
 
 @jax.jit

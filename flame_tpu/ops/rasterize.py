@@ -164,9 +164,17 @@ def rasterize(verts: jax.Array, tris: jax.Array, vals: jax.Array,
                (ymax[None, :] >= ty[:, None]) &
                tri_valid[None, :] & (area2[None, :] > 0))
 
-    # Per-tile compacted triangle indices: stable argsort of ~overlap puts
-    # overlapping triangle ids first, in index order.
-    order = jnp.argsort(~overlap, axis=1, stable=True)[:, :max_per_tile]
+    # Per-tile compacted triangle indices via rank-scatter (argsort of the
+    # (n_tiles, T) mask is ~1M keys and TPU sorts are slow; an exclusive
+    # cumsum + scatter is a few fused passes).
+    K = max_per_tile
+    rank = jnp.cumsum(overlap, axis=1) - overlap  # exclusive prefix count
+    dest = jnp.where(overlap & (rank < K), rank, K)
+    tri_ids = jnp.broadcast_to(jnp.arange(T)[None, :], overlap.shape)
+    order = jnp.zeros((n_tiles, K + 1), jnp.int32)
+    order = order.at[
+        jnp.broadcast_to(jnp.arange(n_tiles)[:, None], overlap.shape),
+        dest].set(tri_ids, mode="drop")[:, :K]
     k_valid = jnp.take_along_axis(overlap, order, axis=1)  # (n_tiles, K)
 
     # Gather per-tile triangle data: (n_tiles, K, ...).

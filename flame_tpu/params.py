@@ -161,6 +161,7 @@ class Params:
     idepth_var_max_graph: float = 1e-2  # Max feature var to enter the graph.
     adaptive_data_weights: bool = False  # weight = 1/var instead of 1.
     init_with_prediction: bool = False  # Init new vertices from dense map.
+    rescale_data: bool = False  # Renormalize graph scale to mean idepth.
     check_sticky_obstacles: bool = False  # Reset x if sucked toward camera.
     do_nltgv2: bool = True
     rparams: RegularizerParams = dataclasses.field(default_factory=RegularizerParams)

@@ -48,7 +48,7 @@ def save(path: str, fl) -> None:
         "inited": fl.inited, "num_imgs": fl.num_imgs,
         "num_data_updates": fl.num_data_updates,
         "num_regularizer_updates": fl.num_regularizer_updates,
-        "graph_scale": fl.graph_scale,
+        "graph_scale": float(np.asarray(fl._graph_scale_dev)),
         "n_edges": fl._n_edges, "n_tris": fl._n_tris,
         "pf_slot_by_id": {str(k): int(v)
                           for k, v in fl._pf_slot_by_id.items()},
@@ -104,7 +104,7 @@ def load(path: str, fl) -> None:
     fl.num_imgs = int(header["num_imgs"])
     fl.num_data_updates = int(header["num_data_updates"])
     fl.num_regularizer_updates = int(header["num_regularizer_updates"])
-    fl.graph_scale = float(header["graph_scale"])
+    fl._graph_scale_dev = jnp.float32(header["graph_scale"])
     fl._n_edges = int(header["n_edges"])
     fl._n_tris = int(header["n_tris"])
     fl._pf_slot_by_id = {int(k): int(v)

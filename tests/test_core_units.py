@@ -201,3 +201,45 @@ def test_normal_map_range():
     c = colormaps.normal_map(n)
     assert c[0, 2] == 0
     assert c[1, 0] == 255
+
+
+# ---------------------------------------------------------------------------
+# KeyframeSelector pool + LoadTracker.
+# ---------------------------------------------------------------------------
+
+
+def test_keyframe_selector_pool():
+    from flame_tpu.core.keyframe import KeyframeSelector
+    K = np.asarray(camera.make_k(100.0, 100.0, 80.0, 60.0))
+    sel = KeyframeSelector(K, max_kfs=3, new_kf_thresh=0.1)
+    img = np.zeros((120, 160), np.uint8)
+    ident = np.array([1.0, 0, 0, 0])
+
+    # Empty pool: -1, frame added.
+    assert sel.select(0.0, img, (ident, np.zeros(3))) == -1
+    assert len(sel.poses) == 1
+    # Small motion: no new keyframe, best is 0.
+    assert sel.select(0.1, img, (ident, np.array([0.05, 0, 0]))) == 0
+    assert len(sel.poses) == 1
+    # Larger motions add keyframes; capacity caps at 3.
+    for i, x in enumerate((0.3, 0.6, 0.9, 1.2)):
+        sel.select(0.2 + i, img, (ident, np.array([x, 0.0, 0.0])))
+    assert len(sel.poses) == 3
+    t, im, pose = sel.get_keyframe(-1)
+    assert pose[1][0] == 1.2
+
+
+def test_load_tracker():
+    from flame_tpu.utils.load_tracker import LoadTracker
+    lt = LoadTracker()
+    first = lt.get()
+    # Burn a little CPU so the second sample is nonzero.
+    x = sum(i * i for i in range(200000))
+    out = lt.get()
+    assert out["mem_sys_total_kb"] > 0
+    assert out["mem_process_rss_kb"] > 0
+    assert 0.0 <= out["cpu_total_pct"] <= 100.0
+    assert 0.0 <= out["cpu_process_pct"] <= 100.0 * os.cpu_count()
+
+
+import os

@@ -179,3 +179,23 @@ def test_async_topology_mode():
     mesh = fl.get_inverse_depth_mesh()
     if mesh["triangles"].size:
         assert mesh["triangles"].max() < mesh["vertices"].shape[0]
+
+
+def test_rescale_data_mode():
+    """rescale_data renormalizes the graph scale without changing outputs
+    (reference flame.cc:328-351)."""
+    params = make_params().replace(rescale_data=True)
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+    Kinv = camera.inv_k(K)
+    fl = Flame(W, H, K, Kinv, params)
+    for i in range(10):
+        cam_x = 0.15 * i
+        pose = (se3.quat_identity(), jnp.array([cam_x, 0.0, 0.0]))
+        fl.update(i * 0.1, i, pose, render(cam_x), i % 2 == 0)
+    scale = float(np.asarray(fl._graph_scale_dev))
+    # Scale should have renormalized to ~ mean idepth (0.2), not stayed 1.
+    assert 0.1 < scale < 0.4, scale
+    # x is O(1): x*scale ~ idepth.
+    idm = fl.get_inverse_depth_map()
+    err = np.abs(idm[~np.isnan(idm)] - TRUE_IDEPTH) / TRUE_IDEPTH
+    assert np.median(err) < 0.12, np.median(err)
