@@ -98,10 +98,22 @@ def main():
     print(json.dumps(result))
 
     if os.environ.get("BENCH_VERBOSE"):
+        # Solver speed: NLTGV2 primal-dual iterations/sec on the live graph
+        # (BASELINE.md north-star metric). Timed with a real fetch.
+        from flame_tpu.optimize import nltgv2
+        K_IT = 600
+        _ = np.asarray(nltgv2.smooth(params.rparams, fl._graph, K_IT).x)
+        t0 = time.perf_counter()
+        _ = np.asarray(nltgv2.smooth(params.rparams, fl._graph, K_IT).x)
+        iters_per_sec = K_IT / (time.perf_counter() - t0)
+
         extra = {
             "coverage": round(cov, 3),
             "median_rel_depth_err": round(float(np.median(err)), 4),
             "n_feats": int(np.asarray(fl._feats.valid).sum()),
+            "solver_iters_per_sec": round(iters_per_sec),
+            "n_vtx": int(np.asarray(fl._graph.vtx_mask).sum()),
+            "n_edges": fl._n_edges,
             "device": str(jax.devices()[0]),
             "timings_ms": {k: round(v, 2) for k, v in
                            fl.stats.snapshot()["timings_ms"].items()},

@@ -140,28 +140,20 @@ class Flame:
             self.stats.tock("update")
             return False
 
-        # Async pipelining: consume the PREVIOUS frame's packed transfer
-        # (issued a frame ago, long complete) and triangulate it now. This
-        # removes every blocking device round-trip from the steady-state
-        # frame — the TPU analogue of the reference's thread pipelining
-        # (update/detection/graph threads, flame.cc:98-116).
-        if p.solver.async_topology and self._packed_pending is not None:
-            pk = self._packed_pending
-            self._packed_pending = None
-            if not self._consume_packed(np.asarray(pk)):
-                self.stats.tock("update")
-                return False
-
         # Bootstrap detection (reference flame.cc:174-242): first poseframe
         # with no features yet.
         if (not self.inited and is_poseframe and self._n_valid == 0
                 and not self._pending):
-            self._detect_on_poseframe(self._curr_pf_slot)
+            if p.solver.async_topology and self._packed_pending is not None:
+                # Need a current mirror before bootstrap decisions.
+                pk = self._packed_pending
+                self._packed_pending = None
+                self._consume_packed(np.asarray(pk))
+            if self._n_valid == 0:
+                self._detect_on_poseframe(self._curr_pf_slot)
+                self._drain_pending()
 
-        # Drain staged detections (reference new_feats_ drain :250-260).
-        self._drain_pending()
-
-        if self._n_valid == 0:
+        if self._n_valid == 0 and self._packed_pending is None:
             self.stats.tock("update")
             return False
 
@@ -175,6 +167,26 @@ class Flame:
         self._last_track_obs = track_obs
         self._last_stats_dev = stat_vec  # fetched lazily by failure_stats()
         self.stats.tock("update_idepths")
+
+        # Async pipelining: consume the PREVIOUS frame's packed transfer
+        # (issued a frame ago, long complete) and triangulate it now, while
+        # the device chews on the track dispatch above — the TPU analogue
+        # of the reference's thread pipelining (flame.cc:98-116). Staged
+        # detections drain afterwards; their features enter tracking next
+        # frame (they are baseline-gated this frame anyway).
+        if p.solver.async_topology and self._packed_pending is not None:
+            pk = self._packed_pending
+            self._packed_pending = None
+            if not self._consume_packed(np.asarray(pk)):
+                self.stats.tock("update")
+                return False
+
+        # Drain staged detections (reference new_feats_ drain :250-260).
+        self._drain_pending()
+
+        if self._n_valid == 0:
+            self.stats.tock("update")
+            return False
 
         packed_dev = pipeline.pack_track_outputs(feats, curr, member)
         if p.solver.async_topology:
@@ -510,6 +522,42 @@ class Flame:
         return (np.asarray(self._curr.xy)[v],
                 np.asarray(self._curr.idepth)[v],
                 np.asarray(self._curr.var)[v])
+
+    # ------------------------------------------------------------------
+    # Debug images (reference flame.h:286-309), rendered on demand.
+    # ------------------------------------------------------------------
+
+    def _gray(self) -> np.ndarray:
+        if self._fnew is None:
+            return np.zeros((self.height, self.width), np.uint8)
+        return np.clip(np.asarray(self._fnew.img), 0, 255).astype(np.uint8)
+
+    def get_debug_image_wireframe(self) -> np.ndarray:
+        from flame_tpu.utils import visualization
+        mesh = self.get_inverse_depth_mesh()
+        return visualization.draw_wireframe(
+            self._gray(), mesh["vertices"], mesh["idepths"],
+            mesh["triangles"], mesh["tri_validity"],
+            scale=self.params.scene_color_scale)
+
+    def get_debug_image_features(self) -> np.ndarray:
+        from flame_tpu.utils import visualization
+        verts, mu, _ = self.get_raw_idepths()
+        return visualization.draw_features(
+            self._gray(), verts, mu, scale=self.params.scene_color_scale)
+
+    def get_debug_image_idepthmap(self) -> np.ndarray:
+        from flame_tpu.utils import visualization
+        return visualization.draw_idepthmap(
+            self._gray(), self.get_inverse_depth_map(),
+            scale=self.params.scene_color_scale)
+
+    def get_debug_image_normals(self) -> np.ndarray:
+        from flame_tpu.utils import visualization
+        mesh = self.get_inverse_depth_mesh()
+        return visualization.draw_normals(
+            self._gray(), mesh["vertices"], mesh["normals"],
+            mesh["triangles"], mesh["tri_validity"])
 
     def failure_stats(self) -> Dict[str, int]:
         s = np.asarray(self._last_stats_dev)

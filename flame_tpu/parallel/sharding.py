@@ -50,64 +50,77 @@ def _sharded_smooth_body(p: RegularizerParams, n_iters: int,
                          edges, alpha, beta, q1, q2, q3, edge_mask):
     """shard_map body: vertex arrays replicated, edge arrays sharded.
 
-    Runs n_iters Chambolle-Pock iterations with one psum per iteration.
+    Runs n_iters Chambolle-Pock iterations with one (V, 3) psum per
+    iteration, using the same stacked gather-minimized formulation as the
+    single-chip hot loop (nltgv2._smooth_stacked): two row gathers of the
+    replicated (V, 8) bar-state per local edge shard, two row segment-sums,
+    then the psum combines the shards' vertex contributions over the ICI.
     """
     V = x.shape[0]
+    ii = edges[:, 0]
+    jj = edges[:, 1]
+
+    # Loop-invariant per-edge quantities on the local shard.
+    dx = pos[ii, 0] - pos[jj, 0]
+    dy = pos[ii, 1] - pos[jj, 1]
+    a = jnp.where(edge_mask, alpha, 0.0)
+    b = jnp.where(edge_mask, beta, 0.0)
+    sxa = p.step_x * a
+    sxb = p.step_x * b
+    qa = p.step_q * a
+    qb = p.step_q * b
+    weight = p.data_factor * data_weight
+    zcol = jnp.zeros((V,), jnp.float32)
+
+    def pack(xb, w1b, w2b):
+        return jnp.stack([xb, w1b, w2b, zcol, zcol, zcol, zcol, zcol],
+                         axis=1)
 
     def one_iter(_, state):
-        (x, w1, w2, x_bar, w1_bar, w2_bar, q1, q2, q3) = state
+        x, w1, w2, VB, q1, q2, q3 = state
         x_prev, w1_prev, w2_prev = x, w1, w2
 
-        ii = edges[:, 0]
-        jj = edges[:, 1]
-        dx = pos[ii, 0] - pos[jj, 0]
-        dy = pos[ii, 1] - pos[jj, 1]
+        gi = VB[ii]
+        gj = VB[jj]
 
-        # Dual ascent on the local edge shard (reference .cc:89-114).
-        K1x = alpha * (x_bar[ii] - x_bar[jj]
-                       - dx * w1_bar[ii] - dy * w2_bar[ii])
-        K2x = beta * (w1_bar[ii] - w1_bar[jj])
-        K3x = beta * (w2_bar[ii] - w2_bar[jj])
-        nq1 = nltgv2._prox_nltgv2_conj(q1 + p.step_q * K1x)
-        nq2 = nltgv2._prox_nltgv2_conj(q2 + p.step_q * K2x)
-        nq3 = nltgv2._prox_nltgv2_conj(q3 + p.step_q * K3x)
-        nq1 = jnp.where(edge_mask, nq1, 0.0)
-        nq2 = jnp.where(edge_mask, nq2, 0.0)
-        nq3 = jnp.where(edge_mask, nq3, 0.0)
+        K1 = (gi[:, 0] - gj[:, 0]) - dx * gi[:, 1] - dy * gi[:, 2]
+        nq1 = nltgv2._prox_nltgv2_conj(q1 + qa * K1)
+        nq2 = nltgv2._prox_nltgv2_conj(q2 + qb * (gi[:, 1] - gj[:, 1]))
+        nq3 = nltgv2._prox_nltgv2_conj(q3 + qb * (gi[:, 2] - gj[:, 2]))
 
-        # Local primal contributions, then one psum over the mesh axis
-        # (reference .cc:116-142; the scatter becomes reduce-over-shards).
-        sxa = p.step_x * alpha
-        sxb = p.step_x * beta
-        seg = functools.partial(jax.ops.segment_sum, num_segments=V)
-        d_x = seg(-nq1 * sxa, ii) + seg(nq1 * sxa, jj)
-        d_w1 = seg(nq1 * sxa * dx - nq2 * sxb, ii) + seg(nq2 * sxb, jj)
-        d_w2 = seg(nq1 * sxa * dy - nq3 * sxb, ii) + seg(nq3 * sxb, jj)
+        Ci = jnp.stack([-nq1 * sxa,
+                        nq1 * sxa * dx - nq2 * sxb,
+                        nq1 * sxa * dy - nq3 * sxb], axis=1)
+        Cj = jnp.stack([nq1 * sxa, nq2 * sxb, nq3 * sxb], axis=1)
 
-        d_x = jax.lax.psum(d_x, AXIS)
-        d_w1 = jax.lax.psum(d_w1, AXIS)
-        d_w2 = jax.lax.psum(d_w2, AXIS)
+        S = jax.ops.segment_sum(Ci, ii, num_segments=V) + \
+            jax.ops.segment_sum(Cj, jj, num_segments=V)
+        S = jax.lax.psum(S, AXIS)  # combine edge shards over the ICI
 
-        nx = x + d_x
-        nw1 = w1 + d_w1
-        nw2 = w2 + d_w2
+        nx = x + S[:, 0]
+        nw1 = w1 + S[:, 1]
+        nw2 = w2 + S[:, 2]
 
-        nx = nltgv2._prox_l1(p.x_min, p.x_max, p.step_x,
-                             p.data_factor * data_weight, nx, data_term)
+        nx = nltgv2._prox_l1(p.x_min, p.x_max, p.step_x, weight, nx,
+                             data_term)
         nx = jnp.where(vtx_mask, nx, x)
         nw1 = jnp.where(vtx_mask, nw1, w1)
         nw2 = jnp.where(vtx_mask, nw2, w2)
 
         # Extragradient (replicated; identical on every device).
-        nx_bar = jnp.clip(nx + p.theta * (nx - x_prev), p.x_min, p.x_max)
-        nw1_bar = nw1 + p.theta * (nw1 - w1_prev)
-        nw2_bar = nw2 + p.theta * (nw2 - w2_prev)
+        x_bar = jnp.clip(nx + p.theta * (nx - x_prev), p.x_min, p.x_max)
+        w1_bar = nw1 + p.theta * (nw1 - w1_prev)
+        w2_bar = nw2 + p.theta * (nw2 - w2_prev)
 
-        return (nx, nw1, nw2, nx_bar, nw1_bar, nw2_bar, nq1, nq2, nq3)
+        return (nx, nw1, nw2, pack(x_bar, w1_bar, w2_bar), nq1, nq2, nq3)
 
-    state = (x, w1, w2, x_bar, w1_bar, w2_bar, q1, q2, q3)
+    state = (x, w1, w2, pack(x_bar, w1_bar, w2_bar), q1, q2, q3)
     state = jax.lax.fori_loop(0, n_iters, one_iter, state)
-    return state
+    x, w1, w2, VB, q1, q2, q3 = state
+    em = edge_mask
+    return (x, w1, w2, VB[:, 0], VB[:, 1], VB[:, 2],
+            jnp.where(em, q1, 0.0), jnp.where(em, q2, 0.0),
+            jnp.where(em, q3, 0.0))
 
 
 def sharded_smooth(p: RegularizerParams, g: nltgv2.GraphState, n_iters: int,
