@@ -246,6 +246,12 @@ class Flame:
         ms = self.stats.tock("update")
         if ms > 0:
             self.stats.ema("fps_max", 1000.0 / ms)
+        # Wall-clock throughput incl. external latency between updates
+        # (reference flame.cc:529-539).
+        wall = self.stats.tock("fps")
+        if wall > 0:
+            self.stats.ema("fps", 1000.0 / wall)
+        self.stats.tick("fps")
 
         self.inited = True
         self.num_data_updates += 1
@@ -302,7 +308,8 @@ class Flame:
          self._graph_scale_dev) = pipeline.post_delaunay_step(
             p, self.K, self.Kinv, self._graph, member, curr, geo_p2n,
             self._graph_scale_dev, tris_dev,
-            jnp.int32(n_tris), self.width, self.height)
+            jnp.int32(n_tris), self.width, self.height,
+            self._idepthmap if p.init_with_prediction else None)
         self._tris = tris_dev.astype(jnp.int32)
         self._tri_mask = jnp.arange(tris_dev.shape[0]) < n_tris
         if p.do_nltgv2:

@@ -298,7 +298,7 @@ def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
 def _graph_sync_inner(params: Params, graph: nltgv2.GraphState,
                       prev_in_graph, member, curr: CurrFeatures,
                       geo_prev_to_new: epipolar.EpiGeo, graph_scale,
-                      topo):
+                      topo, prev_idepthmap=None):
     """Synchronize the solver graph with the tracked features
     (reference projectGraph flame.cc:1862-1938 + syncGraph :1940-2163).
 
@@ -327,7 +327,22 @@ def _graph_sync_inner(params: Params, graph: nltgv2.GraphState,
         # the dynamic per-vertex weight: lambda_eff = data_factor * scale.
         weight = weight * graph_scale
 
-    x = jnp.where(new_member, data_term, x_surv)
+    if params.init_with_prediction and prev_idepthmap is not None:
+        # Initialize new vertices from the previous dense idepthmap when it
+        # has a value there, else fall back to the data term (reference
+        # flame.cc:2132-2158; the neighbor-mean fallback collapses to the
+        # data value since new vertices' neighbors are resolved here too).
+        H, W = prev_idepthmap.shape
+        xi = jnp.clip(jnp.floor(curr.xy[:, 0] + 0.5).astype(jnp.int32),
+                      0, W - 1)
+        yi = jnp.clip(jnp.floor(curr.xy[:, 1] + 0.5).astype(jnp.int32),
+                      0, H - 1)
+        pred = prev_idepthmap[yi, xi] / graph_scale
+        init_x = jnp.where(jnp.isnan(pred), data_term, pred)
+    else:
+        init_x = data_term
+
+    x = jnp.where(new_member, init_x, x_surv)
     if params.check_sticky_obstacles:
         sticky = member & (x - data_term > 0.25)
         x = jnp.where(sticky, data_term, x)
@@ -360,7 +375,8 @@ def _graph_sync_inner(params: Params, graph: nltgv2.GraphState,
 def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
                        member, curr: CurrFeatures,
                        geo_prev_to_new: epipolar.EpiGeo, graph_scale,
-                       tris, n_tris, width: int, height: int):
+                       tris, n_tris, width: int, height: int,
+                       prev_idepthmap=None):
     """Everything between host Delaunay and the next frame, fused into ONE
     dispatch: device-side edge topology + dual carry (from the uploaded
     triangle array alone), graph synchronization, K smoothing iterations,
@@ -387,7 +403,8 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
                          q3=jnp.where(edge_ok, topo.q3, 0.0))
 
     graph = _graph_sync_inner(params, graph, graph.vtx_mask, member, curr,
-                              geo_prev_to_new, graph_scale, topo)
+                              geo_prev_to_new, graph_scale, topo,
+                              prev_idepthmap)
 
     if params.rescale_data:
         # Renormalize the graph so x stays O(1) (reference flame.cc:328-351):

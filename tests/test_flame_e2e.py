@@ -199,3 +199,21 @@ def test_rescale_data_mode():
     idm = fl.get_inverse_depth_map()
     err = np.abs(idm[~np.isnan(idm)] - TRUE_IDEPTH) / TRUE_IDEPTH
     assert np.median(err) < 0.12, np.median(err)
+
+
+def test_init_with_prediction_mode():
+    """init_with_prediction seeds new vertices from the previous dense map
+    (reference flame.cc:2132-2158); must converge at least as well."""
+    params = make_params().replace(init_with_prediction=True)
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+    Kinv = camera.inv_k(K)
+    fl = Flame(W, H, K, Kinv, params)
+    for i in range(12):
+        cam_x = 0.15 * i
+        pose = (se3.quat_identity(), jnp.array([cam_x, 0.0, 0.0]))
+        fl.update(i * 0.1, i, pose, render(cam_x), i % 2 == 0)
+    idm = fl.get_inverse_depth_map()
+    err = np.abs(idm[~np.isnan(idm)] - TRUE_IDEPTH) / TRUE_IDEPTH
+    assert np.median(err) < 0.1
+    # fps EMA stats exist (reference flame.cc:513-539 pattern).
+    assert fl.stats.stats("fps_max") > 0
