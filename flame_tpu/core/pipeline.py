@@ -388,9 +388,11 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
     E = graph.q1.shape[0]
     D = graph.inc_edge.shape[1]
 
+    # The production smoother is the stacked segment-sum formulation, which
+    # never reads the incidence tables — skip their argsort+scatter build.
     topo = topo_mod.from_triangles(
         tris, n_tris, curr.xy, graph.edges, graph.edge_mask,
-        graph.q1, graph.q2, graph.q3, E, V, D)
+        graph.q1, graph.q2, graph.q3, E, V, D, build_incidence=False)
 
     # Under async topology the triangle set lags membership by one frame;
     # mask out edges touching vertices that left the graph.

@@ -43,15 +43,21 @@ def _edge_codes(edges, edge_mask, v_cap):
     return jnp.where(edge_mask, code, big)
 
 
-@functools.partial(jax.jit, static_argnames=("e_cap", "v_cap", "degree"))
+@functools.partial(jax.jit, static_argnames=("e_cap", "v_cap", "degree",
+                                             "build_incidence"))
 def from_triangles(tris, n_tris, pos, prev_edges, prev_edge_mask,
                    prev_q1, prev_q2, prev_q3,
-                   e_cap: int, v_cap: int, degree: int) -> Topology:
+                   e_cap: int, v_cap: int, degree: int,
+                   build_incidence: bool = True) -> Topology:
     """Build the edge topology from a padded triangle array.
 
     tris: (T, 3) integer vertex slots (any int dtype); n_tris: () count;
     pos: (V, 2) current vertex positions; prev_*: previous frame's edge
     arrays (in the sorted-code order this function produces).
+
+    build_incidence=False skips the [V, D] incidence tables (a 2E-key
+    argsort + scatters) — the production smoother (stacked segment-sum
+    formulation) never reads them.
     """
     T = tris.shape[0]
     tris = tris.astype(jnp.int32)
@@ -97,27 +103,32 @@ def from_triangles(tris, n_tris, pos, prev_edges, prev_edge_mask,
     q2 = jnp.where(match, prev_q2[posn_c], 0.0)
     q3 = jnp.where(match, prev_q3[posn_c], 0.0)
 
-    # Incidence table: sort (vertex, edge, sign) triples by vertex, rank
-    # within each group, scatter ranks < degree.
-    verts = jnp.concatenate([lo_e, hi_e])
-    eids = jnp.tile(jnp.arange(e_cap, dtype=jnp.int32), 2)
-    signs = jnp.concatenate([jnp.ones(e_cap, jnp.float32),
-                             -jnp.ones(e_cap, jnp.float32)])
-    vkey = jnp.where(jnp.concatenate([edge_mask, edge_mask]), verts,
-                     jnp.int32(v_cap))
-    order = jnp.argsort(vkey)
-    vs = vkey[order]
-    firstv = jnp.searchsorted(vs, vs)
-    rankv = jnp.arange(2 * e_cap) - firstv
-    keep = (rankv < degree) & (vs < v_cap)
-    islot = jnp.where(keep, vs * degree + rankv, v_cap * degree)
-    inc_edge = jnp.zeros((v_cap * degree + 1,), jnp.int32)
-    inc_edge = inc_edge.at[islot].set(eids[order], mode="drop")
-    inc_sign = jnp.zeros((v_cap * degree + 1,), jnp.float32)
-    inc_sign = inc_sign.at[islot].set(signs[order], mode="drop")
+    if build_incidence:
+        # Incidence table: sort (vertex, edge, sign) triples by vertex,
+        # rank within each group, scatter ranks < degree.
+        verts = jnp.concatenate([lo_e, hi_e])
+        eids = jnp.tile(jnp.arange(e_cap, dtype=jnp.int32), 2)
+        signs = jnp.concatenate([jnp.ones(e_cap, jnp.float32),
+                                 -jnp.ones(e_cap, jnp.float32)])
+        vkey = jnp.where(jnp.concatenate([edge_mask, edge_mask]), verts,
+                         jnp.int32(v_cap))
+        order = jnp.argsort(vkey)
+        vs = vkey[order]
+        firstv = jnp.searchsorted(vs, vs)
+        rankv = jnp.arange(2 * e_cap) - firstv
+        keep = (rankv < degree) & (vs < v_cap)
+        islot = jnp.where(keep, vs * degree + rankv, v_cap * degree)
+        inc_edge = jnp.zeros((v_cap * degree + 1,), jnp.int32)
+        inc_edge = inc_edge.at[islot].set(eids[order], mode="drop")
+        inc_sign = jnp.zeros((v_cap * degree + 1,), jnp.float32)
+        inc_sign = inc_sign.at[islot].set(signs[order], mode="drop")
+        inc_edge = inc_edge[:-1].reshape(v_cap, degree)
+        inc_sign = inc_sign[:-1].reshape(v_cap, degree)
+    else:
+        inc_edge = jnp.zeros((v_cap, degree), jnp.int32)
+        inc_sign = jnp.zeros((v_cap, degree), jnp.float32)
 
     return Topology(edges=edges, alpha=alpha, edge_mask=edge_mask,
                     q1=q1, q2=q2, q3=q3,
-                    inc_edge=inc_edge[:-1].reshape(v_cap, degree),
-                    inc_sign=inc_sign[:-1].reshape(v_cap, degree),
+                    inc_edge=inc_edge, inc_sign=inc_sign,
                     n_edges=jnp.minimum(n_edges, e_cap))
