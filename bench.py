@@ -60,8 +60,8 @@ def main():
         min_height=-1e6, max_height=1e6,
         idepth_init=0.05,
         detection=DetectionParams(win_size=16),
-        solver=SolverParams(n_iters_per_frame=60, max_vertex_degree=16,
-                            async_topology=True),
+        solver=SolverParams(max_vertex_degree=16,
+                     async_topology=True),
         debug_quiet=True)
 
     K = camera.make_k(FX, FX, W / 2, H / 2)

@@ -199,25 +199,29 @@ class Flame:
             self._packed_pending = packed_dev
             if self._staged_tris is not None:
                 self.stats.tick("sync_graph")
-                tris_dev, n_tris, tris_np, edges_np = self._staged_tris
+                (tris_dev, n_tris, tris_np, edges_np, edges_dev,
+                 n_edges) = self._staged_tris
                 self._tris_np = tris_np
                 self._edges_np = edges_np
-                self._n_edges = edges_np.shape[0]
+                self._n_edges = n_edges
                 self._n_tris = n_tris
-                self._run_post_delaunay(member, curr, tris_dev, n_tris)
+                self._run_post_delaunay(member, curr, tris_dev, n_tris,
+                                        edges_dev, n_edges)
                 self.stats.tock("sync_graph")
         else:
             # Synchronous: fetch, triangulate, and run in-frame.
             if not self._consume_packed(np.asarray(packed_dev)):
                 self.stats.tock("update")
                 return False
-            tris_dev, n_tris, tris_np, edges_np = self._staged_tris
+            (tris_dev, n_tris, tris_np, edges_np, edges_dev,
+             n_edges) = self._staged_tris
             self.stats.tick("sync_graph")
             self._tris_np = tris_np
             self._edges_np = edges_np
-            self._n_edges = edges_np.shape[0]
+            self._n_edges = n_edges
             self._n_tris = n_tris
-            self._run_post_delaunay(member, curr, tris_dev, n_tris)
+            self._run_post_delaunay(member, curr, tris_dev, n_tris,
+                                    edges_dev, n_edges)
             self.stats.tock("sync_graph")
 
         if is_poseframe:
@@ -244,6 +248,12 @@ class Flame:
         self.stats.set("num_edges", int(self._n_edges))
 
         ms = self.stats.tock("update")
+        if not p.debug_quiet:
+            # Compact per-update timing line (reference flame.cc:545-549).
+            print(f"flame_tpu/update({self.num_data_updates}, "
+                  f"{self.num_regularizer_updates}) = {ms:4.1f}ms "
+                  f"feats={self._n_valid} vtx={self._n_members} "
+                  f"tris={self._n_tris}")
         if ms > 0:
             self.stats.ema("fps_max", 1000.0 / ms)
         # Wall-clock throughput incl. external latency between updates
@@ -293,11 +303,28 @@ class Flame:
             tris_slots = tris_slots[:T_cap]
         tris_full = np.zeros((T_cap, 3), np.int16)
         tris_full[: tris_slots.shape[0]] = tris_slots
+
+        # Canonical sorted edge list for the device (saves the device-side
+        # triangle sort/unique; the host has the edges from Delaunay).
+        E_cap = p.edge_capacity
+        edges_slots = np.sort(member_slots[tri.edges], axis=1)
+        if edges_slots.shape[0] > E_cap:
+            edges_slots = edges_slots[:E_cap]
+        order = np.argsort(edges_slots[:, 0].astype(np.int64)
+                           * p.feature_capacity + edges_slots[:, 1])
+        edges_sorted = edges_slots[order]
+        idt = np.int16 if p.feature_capacity <= 32767 else np.int32
+        edges_full = np.zeros((E_cap, 2), idt)
+        edges_full[: edges_sorted.shape[0]] = edges_sorted
+
         self._staged_tris = (jnp.asarray(tris_full), tris_slots.shape[0],
-                             tris_slots, member_slots[tri.edges])
+                             tris_slots, edges_sorted,
+                             jnp.asarray(edges_full),
+                             edges_sorted.shape[0])
         return True
 
-    def _run_post_delaunay(self, member, curr, tris_dev, n_tris: int):
+    def _run_post_delaunay(self, member, curr, tris_dev, n_tris: int,
+                           edges_dev=None, n_edges: int = 0):
         """Dispatch the fused topology+sync+smooth+mesh step."""
         p = self.params
         fprev = self._fprev if self._fprev is not None else self._fnew
@@ -309,7 +336,8 @@ class Flame:
             p, self.K, self.Kinv, self._graph, member, curr, geo_p2n,
             self._graph_scale_dev, tris_dev,
             jnp.int32(n_tris), self.width, self.height,
-            self._idepthmap if p.init_with_prediction else None)
+            self._idepthmap if p.init_with_prediction else None,
+            edges_dev, jnp.int32(n_edges))
         self._tris = tris_dev.astype(jnp.int32)
         self._tri_mask = jnp.arange(tris_dev.shape[0]) < n_tris
         if p.do_nltgv2:
@@ -565,6 +593,52 @@ class Flame:
         return visualization.draw_normals(
             self._gray(), mesh["vertices"], mesh["normals"],
             mesh["triangles"], mesh["tri_validity"])
+
+    def get_debug_image_detections(self) -> np.ndarray:
+        """Detection score map + last staged winners (reference
+        drawDetections, flame.cc:2363-2403). Runs detection afresh on the
+        current poseframe."""
+        from flame_tpu.utils import visualization
+        if self._fprev is None or self._curr_pf_slot is None:
+            return visualization.to_rgb(self._gray())
+        p = self.params
+        # Compare against the newest frame that is not the poseframe itself
+        # (right after a non-poseframe update, _fprev IS the poseframe, and
+        # a zero-baseline geometry would blank the score map).
+        new_is_pf = (self._pf_slot_by_id.get(int(self._fnew.frame_id))
+                     == self._curr_pf_slot)
+        cmp_frame = self._fprev if new_is_pf else self._fnew
+        geo = _load_rel(self.K, self.Kinv,
+                        (self._stack.q[self._curr_pf_slot],
+                         self._stack.t[self._curr_pf_slot]),
+                        (cmp_frame.q, cmp_frame.t))
+        res = detection.detect(
+            geo, self._stack.gradx[self._curr_pf_slot],
+            self._stack.grady[self._curr_pf_slot],
+            p.detection.min_grad_mag, p.detection.win_size, p.border)
+        score = np.asarray(res.score_map)
+        winners = np.asarray(res.best_xy)[np.asarray(res.best_score) > 0]
+        return visualization.draw_detections(self._gray(), score, winners)
+
+    def get_debug_image_matches(self) -> np.ndarray:
+        """Features colored by the last search outcome (reference
+        drawMatches coloring in updateFeatureIDepths, flame.cc:1697-1725):
+        green = success, white = ref-patch gradient fail, red = ambiguous,
+        yellow = max cost."""
+        from flame_tpu.utils import visualization
+        img = visualization.to_rgb(self._gray())
+        xy = np.asarray(self._curr.xy)
+        valid = np.asarray(self._curr.valid)
+        status = np.asarray(self._feats.search_status)
+        colors = {0: (0, 255, 0), 1: (255, 255, 255), 2: (255, 0, 0),
+                  3: (255, 255, 0)}
+        Hh, Ww = img.shape[:2]
+        for s in np.nonzero(valid)[0]:
+            x, y = int(round(xy[s, 0])), int(round(xy[s, 1]))
+            c = colors.get(int(status[s]), (128, 128, 128))
+            img[max(0, y - 2):min(Hh, y + 3),
+                max(0, x - 2):min(Ww, x + 3)] = c
+        return img
 
     def failure_stats(self) -> Dict[str, int]:
         s = np.asarray(self._last_stats_dev)

@@ -376,7 +376,7 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
                        member, curr: CurrFeatures,
                        geo_prev_to_new: epipolar.EpiGeo, graph_scale,
                        tris, n_tris, width: int, height: int,
-                       prev_idepthmap=None):
+                       prev_idepthmap=None, edges=None, n_edges=None):
     """Everything between host Delaunay and the next frame, fused into ONE
     dispatch: device-side edge topology + dual carry (from the uploaded
     triangle array alone), graph synchronization, K smoothing iterations,
@@ -390,9 +390,16 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
 
     # The production smoother is the stacked segment-sum formulation, which
     # never reads the incidence tables — skip their argsort+scatter build.
-    topo = topo_mod.from_triangles(
-        tris, n_tris, curr.xy, graph.edges, graph.edge_mask,
-        graph.q1, graph.q2, graph.q3, E, V, D, build_incidence=False)
+    # When the host supplies the (sorted, unique) edge list from Delaunay,
+    # the device-side triangle sort/unique is skipped too.
+    if edges is not None:
+        topo = topo_mod.from_edges(
+            edges, n_edges, curr.xy, graph.edges, graph.edge_mask,
+            graph.q1, graph.q2, graph.q3, E, V, D, build_incidence=False)
+    else:
+        topo = topo_mod.from_triangles(
+            tris, n_tris, curr.xy, graph.edges, graph.edge_mask,
+            graph.q1, graph.q2, graph.q3, E, V, D, build_incidence=False)
 
     # Under async topology the triangle set lags membership by one frame;
     # mask out edges touching vertices that left the graph.

@@ -127,7 +127,7 @@ def rasterize_bruteforce(verts: jax.Array, tris: jax.Array, vals: jax.Array,
 def rasterize(verts: jax.Array, tris: jax.Array, vals: jax.Array,
               tri_valid: jax.Array, height: int, width: int,
               truncate: bool = True, tile_h: int = 32, tile_w: int = 128,
-              max_per_tile: int = 512) -> jax.Array:
+              max_per_tile: int = 384) -> jax.Array:
     """Tile-binned rasterizer (production path).
 
     Bins triangles to (tile_h x tile_w) image tiles by bbox overlap, then

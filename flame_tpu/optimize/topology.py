@@ -45,6 +45,69 @@ def _edge_codes(edges, edge_mask, v_cap):
 
 @functools.partial(jax.jit, static_argnames=("e_cap", "v_cap", "degree",
                                              "build_incidence"))
+def from_edges(edges_in, n_edges, pos, prev_edges, prev_edge_mask,
+               prev_q1, prev_q2, prev_q3,
+               e_cap: int, v_cap: int, degree: int,
+               build_incidence: bool = False) -> Topology:
+    """Like from_triangles, but the host supplies the unique edge list
+    directly (canonical (lo, hi), sorted by lo*V+hi code, padded to E) —
+    the host already has it from Delaunay, so the device-side
+    3T-key sort/unique is unnecessary. Only carry-over, alpha, and the
+    optional incidence remain on device.
+    """
+    edges = edges_in.astype(jnp.int32)
+    edge_mask = jnp.arange(e_cap) < n_edges
+    lo_e = jnp.where(edge_mask, edges[:, 0], 0)
+    hi_e = jnp.where(edge_mask, edges[:, 1], 0)
+    edges = jnp.stack([lo_e, hi_e], axis=1)
+
+    big = jnp.int32(v_cap * v_cap)
+    edge_codes = jnp.where(edge_mask, lo_e * v_cap + hi_e, big)
+
+    d = pos[lo_e] - pos[hi_e]
+    length = jnp.sqrt(jnp.sum(d * d, axis=1))
+    alpha = jnp.where(edge_mask & (length > 1e-6),
+                      1.0 / jnp.maximum(length, 1e-6), 0.0)
+
+    prev_codes = _edge_codes(prev_edges, prev_edge_mask, v_cap)
+    posn = jnp.searchsorted(prev_codes, edge_codes)
+    posn_c = jnp.minimum(posn, e_cap - 1)
+    match = (prev_codes[posn_c] == edge_codes) & edge_mask
+    q1 = jnp.where(match, prev_q1[posn_c], 0.0)
+    q2 = jnp.where(match, prev_q2[posn_c], 0.0)
+    q3 = jnp.where(match, prev_q3[posn_c], 0.0)
+
+    if build_incidence:
+        verts = jnp.concatenate([lo_e, hi_e])
+        eids = jnp.tile(jnp.arange(e_cap, dtype=jnp.int32), 2)
+        signs = jnp.concatenate([jnp.ones(e_cap, jnp.float32),
+                                 -jnp.ones(e_cap, jnp.float32)])
+        vkey = jnp.where(jnp.concatenate([edge_mask, edge_mask]), verts,
+                         jnp.int32(v_cap))
+        order = jnp.argsort(vkey)
+        vs = vkey[order]
+        firstv = jnp.searchsorted(vs, vs)
+        rankv = jnp.arange(2 * e_cap) - firstv
+        keep = (rankv < degree) & (vs < v_cap)
+        islot = jnp.where(keep, vs * degree + rankv, v_cap * degree)
+        inc_edge = jnp.zeros((v_cap * degree + 1,), jnp.int32)
+        inc_edge = inc_edge.at[islot].set(eids[order], mode="drop")
+        inc_sign = jnp.zeros((v_cap * degree + 1,), jnp.float32)
+        inc_sign = inc_sign.at[islot].set(signs[order], mode="drop")
+        inc_edge = inc_edge[:-1].reshape(v_cap, degree)
+        inc_sign = inc_sign[:-1].reshape(v_cap, degree)
+    else:
+        inc_edge = jnp.zeros((v_cap, degree), jnp.int32)
+        inc_sign = jnp.zeros((v_cap, degree), jnp.float32)
+
+    return Topology(edges=edges, alpha=alpha, edge_mask=edge_mask,
+                    q1=q1, q2=q2, q3=q3,
+                    inc_edge=inc_edge, inc_sign=inc_sign,
+                    n_edges=jnp.asarray(n_edges, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("e_cap", "v_cap", "degree",
+                                             "build_incidence"))
 def from_triangles(tris, n_tris, pos, prev_edges, prev_edge_mask,
                    prev_q1, prev_q2, prev_q3,
                    e_cap: int, v_cap: int, degree: int,

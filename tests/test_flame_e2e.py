@@ -217,3 +217,11 @@ def test_init_with_prediction_mode():
     assert np.median(err) < 0.1
     # fps EMA stats exist (reference flame.cc:513-539 pattern).
     assert fl.stats.stats("fps_max") > 0
+
+
+def test_debug_images(run_sequence):
+    fl, _ = run_sequence
+    for name in ("wireframe", "features", "idepthmap", "normals",
+                 "detections", "matches"):
+        img = getattr(fl, f"get_debug_image_{name}")()
+        assert img.shape == (H, W, 3) and img.dtype == np.uint8, name

@@ -115,3 +115,38 @@ def test_empty_and_overflow():
                                                          np.float32))
     assert int(topo.n_edges) == 0
     assert not bool(jnp.any(topo.edge_mask))
+
+
+def test_from_edges_matches_from_triangles(rng):
+    """Host-supplied edge lists must produce the same topology as the
+    device-side triangle derivation (including dual carry-over)."""
+    tris, pos = make_mesh(rng)
+    topo_t = run_topo(tris, pos)
+
+    # Host edge list in canonical sorted-code order.
+    edges = np.array(host_edges(tris), np.int64)
+    order = np.argsort(edges[:, 0] * V_CAP + edges[:, 1])
+    edges_sorted = edges[order]
+    edges_full = np.zeros((E_CAP, 2), np.int16)
+    edges_full[: edges_sorted.shape[0]] = edges_sorted
+
+    # Prior duals to carry.
+    em = np.asarray(topo_t.edge_mask)
+    q = jnp.asarray(np.where(em, np.arange(E_CAP) * 0.01, 0.0)
+                    .astype(np.float32))
+    topo_e = topology.from_edges(
+        jnp.asarray(edges_full), jnp.int32(edges_sorted.shape[0]),
+        jnp.asarray(pos), topo_t.edges, topo_t.edge_mask, q, q * 2, q * 3,
+        E_CAP, V_CAP, DEG)
+
+    np.testing.assert_array_equal(np.asarray(topo_e.edges),
+                                  np.asarray(topo_t.edges))
+    np.testing.assert_array_equal(np.asarray(topo_e.edge_mask),
+                                  np.asarray(topo_t.edge_mask))
+    np.testing.assert_allclose(np.asarray(topo_e.alpha),
+                               np.asarray(topo_t.alpha), rtol=1e-6)
+    # Carry: every surviving edge picks up its prior dual.
+    np.testing.assert_allclose(np.asarray(topo_e.q1),
+                               np.asarray(jnp.where(topo_t.edge_mask, q, 0)),
+                               atol=1e-7)
+    assert int(topo_e.n_edges) == int(topo_t.n_edges)
