@@ -368,7 +368,8 @@ def _graph_sync_inner(params: Params, graph: nltgv2.GraphState,
         beta=jnp.where(topo.edge_mask, 1.0, 0.0),
         q1=topo.q1, q2=topo.q2, q3=topo.q3,
         edge_mask=topo.edge_mask,
-        inc_edge=topo.inc_edge, inc_sign=topo.inc_sign)
+        inc_edge=topo.inc_edge, inc_sign=topo.inc_sign,
+        src_slot=topo.src_slot)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "width", "height"))
@@ -388,18 +389,18 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
     E = graph.q1.shape[0]
     D = graph.inc_edge.shape[1]
 
-    # The production smoother is the stacked segment-sum formulation, which
-    # never reads the incidence tables — skip their argsort+scatter build.
-    # When the host supplies the (sorted, unique) edge list from Delaunay,
-    # the device-side triangle sort/unique is skipped too.
+    # The production smoother is the vertex-centric one-gather formulation,
+    # which needs the [V, D] incidence tables + src_slot. When the host
+    # supplies the (sorted, unique) edge list from Delaunay, the
+    # device-side triangle sort/unique is skipped.
     if edges is not None:
         topo = topo_mod.from_edges(
             edges, n_edges, curr.xy, graph.edges, graph.edge_mask,
-            graph.q1, graph.q2, graph.q3, E, V, D, build_incidence=False)
+            graph.q1, graph.q2, graph.q3, E, V, D, build_incidence=True)
     else:
         topo = topo_mod.from_triangles(
             tris, n_tris, curr.xy, graph.edges, graph.edge_mask,
-            graph.q1, graph.q2, graph.q3, E, V, D, build_incidence=False)
+            graph.q1, graph.q2, graph.q3, E, V, D, build_incidence=True)
 
     # Under async topology the triangle set lags membership by one frame;
     # mask out edges touching vertices that left the graph.
@@ -434,7 +435,7 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
     if params.do_nltgv2:
         graph = nltgv2.smooth(params.rparams, graph,
                               params.solver.n_iters_per_frame,
-                              use_incidence=True)
+                              mode="vertex")
     else:
         graph = graph._replace(x=graph.data_term)
 

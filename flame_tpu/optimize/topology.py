@@ -35,12 +35,57 @@ class Topology(NamedTuple):
     inc_edge: jax.Array  # (V, D) int32
     inc_sign: jax.Array  # (V, D) float32
     n_edges: jax.Array  # () int32
+    src_slot: jax.Array = None  # (E,) int32 flat (V*D) slot of each edge's
+    # entry in the incidence table (src endpoint preferred, dst fallback,
+    # V*D sentinel when dropped) — lets the vertex-centric smoother write
+    # its per-slot duals back to the canonical per-edge arrays.
 
 
 def _edge_codes(edges, edge_mask, v_cap):
     big = jnp.int32(v_cap * v_cap)
     code = edges[:, 0] * v_cap + edges[:, 1]
     return jnp.where(edge_mask, code, big)
+
+
+def _build_incidence_device(lo_e, hi_e, edge_mask, e_cap, v_cap, degree):
+    """Device-side [V, D] incidence tables + per-edge src_slot.
+
+    Sorts the 2E (vertex, edge, sign) triples by vertex, ranks within each
+    vertex group, scatters ranks < degree. src_slot maps edge -> flat slot
+    (vertex*degree + rank) of its source-endpoint entry (dst entry as a
+    fallback, V*D sentinel when both dropped).
+    """
+    verts = jnp.concatenate([lo_e, hi_e])
+    eids = jnp.tile(jnp.arange(e_cap, dtype=jnp.int32), 2)
+    signs = jnp.concatenate([jnp.ones(e_cap, jnp.float32),
+                             -jnp.ones(e_cap, jnp.float32)])
+    vkey = jnp.where(jnp.concatenate([edge_mask, edge_mask]), verts,
+                     jnp.int32(v_cap))
+    order = jnp.argsort(vkey)
+    vs = vkey[order]
+    firstv = jnp.searchsorted(vs, vs)
+    rankv = jnp.arange(2 * e_cap) - firstv
+    keep = (rankv < degree) & (vs < v_cap)
+    islot = jnp.where(keep, vs * degree + rankv, v_cap * degree)
+    eo = eids[order]
+    so = signs[order]
+    inc_edge = jnp.zeros((v_cap * degree + 1,), jnp.int32)
+    inc_edge = inc_edge.at[islot].set(eo, mode="drop")
+    inc_sign = jnp.zeros((v_cap * degree + 1,), jnp.float32)
+    inc_sign = inc_sign.at[islot].set(so, mode="drop")
+
+    sentinel = jnp.int32(v_cap * degree)
+    src_slot = jnp.full((e_cap + 1,), sentinel, jnp.int32)
+    # dst entries first, src entries override (each edge has at most one of
+    # each, so each scatter's indices are unique).
+    dst_i = jnp.where(keep & (so < 0), eo, e_cap)
+    src_slot = src_slot.at[dst_i].set(islot.astype(jnp.int32), mode="drop")
+    src_i = jnp.where(keep & (so > 0), eo, e_cap)
+    src_slot = src_slot.at[src_i].set(islot.astype(jnp.int32), mode="drop")
+
+    return (inc_edge[:-1].reshape(v_cap, degree),
+            inc_sign[:-1].reshape(v_cap, degree),
+            src_slot[:e_cap])
 
 
 @functools.partial(jax.jit, static_argnames=("e_cap", "v_cap", "degree",
@@ -78,32 +123,18 @@ def from_edges(edges_in, n_edges, pos, prev_edges, prev_edge_mask,
     q3 = jnp.where(match, prev_q3[posn_c], 0.0)
 
     if build_incidence:
-        verts = jnp.concatenate([lo_e, hi_e])
-        eids = jnp.tile(jnp.arange(e_cap, dtype=jnp.int32), 2)
-        signs = jnp.concatenate([jnp.ones(e_cap, jnp.float32),
-                                 -jnp.ones(e_cap, jnp.float32)])
-        vkey = jnp.where(jnp.concatenate([edge_mask, edge_mask]), verts,
-                         jnp.int32(v_cap))
-        order = jnp.argsort(vkey)
-        vs = vkey[order]
-        firstv = jnp.searchsorted(vs, vs)
-        rankv = jnp.arange(2 * e_cap) - firstv
-        keep = (rankv < degree) & (vs < v_cap)
-        islot = jnp.where(keep, vs * degree + rankv, v_cap * degree)
-        inc_edge = jnp.zeros((v_cap * degree + 1,), jnp.int32)
-        inc_edge = inc_edge.at[islot].set(eids[order], mode="drop")
-        inc_sign = jnp.zeros((v_cap * degree + 1,), jnp.float32)
-        inc_sign = inc_sign.at[islot].set(signs[order], mode="drop")
-        inc_edge = inc_edge[:-1].reshape(v_cap, degree)
-        inc_sign = inc_sign[:-1].reshape(v_cap, degree)
+        inc_edge, inc_sign, src_slot = _build_incidence_device(
+            lo_e, hi_e, edge_mask, e_cap, v_cap, degree)
     else:
         inc_edge = jnp.zeros((v_cap, degree), jnp.int32)
         inc_sign = jnp.zeros((v_cap, degree), jnp.float32)
+        src_slot = jnp.zeros((e_cap,), jnp.int32)
 
     return Topology(edges=edges, alpha=alpha, edge_mask=edge_mask,
                     q1=q1, q2=q2, q3=q3,
                     inc_edge=inc_edge, inc_sign=inc_sign,
-                    n_edges=jnp.asarray(n_edges, jnp.int32))
+                    n_edges=jnp.asarray(n_edges, jnp.int32),
+                    src_slot=src_slot)
 
 
 @functools.partial(jax.jit, static_argnames=("e_cap", "v_cap", "degree",
@@ -167,31 +198,15 @@ def from_triangles(tris, n_tris, pos, prev_edges, prev_edge_mask,
     q3 = jnp.where(match, prev_q3[posn_c], 0.0)
 
     if build_incidence:
-        # Incidence table: sort (vertex, edge, sign) triples by vertex,
-        # rank within each group, scatter ranks < degree.
-        verts = jnp.concatenate([lo_e, hi_e])
-        eids = jnp.tile(jnp.arange(e_cap, dtype=jnp.int32), 2)
-        signs = jnp.concatenate([jnp.ones(e_cap, jnp.float32),
-                                 -jnp.ones(e_cap, jnp.float32)])
-        vkey = jnp.where(jnp.concatenate([edge_mask, edge_mask]), verts,
-                         jnp.int32(v_cap))
-        order = jnp.argsort(vkey)
-        vs = vkey[order]
-        firstv = jnp.searchsorted(vs, vs)
-        rankv = jnp.arange(2 * e_cap) - firstv
-        keep = (rankv < degree) & (vs < v_cap)
-        islot = jnp.where(keep, vs * degree + rankv, v_cap * degree)
-        inc_edge = jnp.zeros((v_cap * degree + 1,), jnp.int32)
-        inc_edge = inc_edge.at[islot].set(eids[order], mode="drop")
-        inc_sign = jnp.zeros((v_cap * degree + 1,), jnp.float32)
-        inc_sign = inc_sign.at[islot].set(signs[order], mode="drop")
-        inc_edge = inc_edge[:-1].reshape(v_cap, degree)
-        inc_sign = inc_sign[:-1].reshape(v_cap, degree)
+        inc_edge, inc_sign, src_slot = _build_incidence_device(
+            lo_e, hi_e, edge_mask, e_cap, v_cap, degree)
     else:
         inc_edge = jnp.zeros((v_cap, degree), jnp.int32)
         inc_sign = jnp.zeros((v_cap, degree), jnp.float32)
+        src_slot = jnp.zeros((e_cap,), jnp.int32)
 
     return Topology(edges=edges, alpha=alpha, edge_mask=edge_mask,
                     q1=q1, q2=q2, q3=q3,
                     inc_edge=inc_edge, inc_sign=inc_sign,
-                    n_edges=jnp.minimum(n_edges, e_cap))
+                    n_edges=jnp.minimum(n_edges, e_cap),
+                    src_slot=src_slot)

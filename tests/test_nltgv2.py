@@ -56,6 +56,7 @@ def make_grid_graph(n=6, v_cap=64, e_cap=256, degree=12, noise=0.0,
 
     inc_edge, inc_sign = nltgv2.build_incidence(edges_full, emask, v_cap,
                                                 degree)
+    src_slot = nltgv2.build_src_slot(inc_edge, inc_sign, e_cap)
 
     g = g._replace(
         pos=jnp.asarray(pos_full), data_term=jnp.asarray(data_full),
@@ -63,7 +64,8 @@ def make_grid_graph(n=6, v_cap=64, e_cap=256, degree=12, noise=0.0,
         data_weight=jnp.asarray(weight), vtx_mask=jnp.asarray(vmask),
         edges=jnp.asarray(edges_full), alpha=jnp.asarray(alpha),
         beta=jnp.asarray(beta), edge_mask=jnp.asarray(emask),
-        inc_edge=jnp.asarray(inc_edge), inc_sign=jnp.asarray(inc_sign))
+        inc_edge=jnp.asarray(inc_edge), inc_sign=jnp.asarray(inc_sign),
+        src_slot=jnp.asarray(src_slot))
     return g, V, E
 
 
@@ -161,6 +163,40 @@ def test_prox_dual_projection():
     out = nltgv2._prox_nltgv2_conj(jnp.array([0.5, -0.5, 3.0, -4.0]))
     np.testing.assert_allclose(np.asarray(out), [0.5, -0.5, 1.0, -1.0],
                                atol=1e-6)
+
+
+def test_vertex_centric_matches_reference_step():
+    """The production vertex-centric one-gather loop must agree with the
+    field-per-field reference implementation, including the duals written
+    back to the canonical per-edge arrays."""
+    p = RegularizerParams()
+    g, V, E = make_grid_graph(noise=0.35, seed=41)
+    g_ref = g
+    for _ in range(25):
+        g_ref = nltgv2.step(p, g_ref, use_incidence=False)
+    g_vc = nltgv2.smooth(p, g, 25, mode="vertex")
+    # atol 1e-4: the vertex-centric loop folds step_q into alpha before the
+    # multiply (different float association than the reference's
+    # step_q * (alpha * K)).
+    for name in ("x", "w1", "w2", "x_bar", "w1_bar", "w2_bar",
+                 "q1", "q2", "q3"):
+        np.testing.assert_allclose(np.asarray(getattr(g_vc, name)),
+                                   np.asarray(getattr(g_ref, name)),
+                                   atol=1e-4, err_msg=name)
+
+
+def test_vertex_centric_resumes_from_carried_duals():
+    """Nonzero q state must round-trip through the slot replication /
+    write-back (smooth in two halves == smooth once)."""
+    p = RegularizerParams()
+    g, V, E = make_grid_graph(noise=0.35, seed=43)
+    g_once = nltgv2.smooth(p, g, 30, mode="vertex")
+    g_half = nltgv2.smooth(p, g, 15, mode="vertex")
+    g_twice = nltgv2.smooth(p, g_half, 15, mode="vertex")
+    for name in ("x", "w1", "w2", "x_bar", "q1", "q2", "q3"):
+        np.testing.assert_allclose(np.asarray(getattr(g_twice, name)),
+                                   np.asarray(getattr(g_once, name)),
+                                   atol=1e-6, err_msg=name)
 
 
 def test_stacked_matches_reference_step():

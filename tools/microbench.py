@@ -1,0 +1,263 @@
+#!/usr/bin/env python
+"""Per-kernel microbenchmarks on the live device.
+
+Times the hot per-frame kernels in isolation: NLTGV2 smoothing variants,
+mesh_outputs and its components, topology build, and the fused tracking
+step. Timing protocol (see NOTES.md): block_until_ready on the tunneled
+device returns at RPC-accept, so every measurement chains R dependent
+dispatches and ends in a tiny np.asarray fetch; one fixed RTT is
+subtracted.
+
+Usage: python tools/microbench.py [kernel ...]
+  kernels: smooth mesh topo track post all (default: all)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+RTT = None  # measured at startup
+
+
+def measure_rtt():
+    """Fixed cost of a dispatch+fetch round trip."""
+    x = jnp.zeros((), jnp.float32)
+    f = jax.jit(lambda v: v + 1)
+    _ = np.asarray(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def timeit(fn, reps=5, inner=1):
+    """fn() must END with a host fetch. Returns best seconds minus RTT,
+    divided by inner."""
+    fn()  # warm
+    best = min(max(_timed(fn) - RTT, 1e-9) for _ in range(reps))
+    return best / inner
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def make_graph(V=4096, E=16384, n_used=2700, seed=0):
+    """Realistic graph: Delaunay over random VGA points."""
+    from scipy.spatial import Delaunay as SDelaunay
+    from flame_tpu.optimize import nltgv2
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([8, 8], [632, 472], size=(n_used, 2)).astype(np.float32)
+    sd = SDelaunay(pts)
+    tris = sd.simplices
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    e = np.sort(e, axis=1)
+    e = np.unique(e[:, 0].astype(np.int64) * V + e[:, 1])
+    e = np.stack([e // V, e % V], axis=1)
+    n_e = e.shape[0]
+    assert n_e <= E, (n_e, E)
+
+    edges = np.zeros((E, 2), np.int64)
+    edges[:n_e] = e
+    emask = np.zeros(E, bool)
+    emask[:n_e] = True
+    vmask = np.zeros(V, bool)
+    vmask[:n_used] = True
+
+    g = nltgv2.empty(V, E, 16)
+    pos = np.zeros((V, 2), np.float32)
+    pos[:n_used] = pts
+    d = pos[edges[:, 0]] - pos[edges[:, 1]]
+    ln = np.sqrt((d * d).sum(1))
+    alpha = np.where(emask & (ln > 1e-6), 1.0 / np.maximum(ln, 1e-6), 0.0)
+    x = rng.uniform(0.15, 0.25, V).astype(np.float32) * vmask
+    g = g._replace(
+        pos=jnp.asarray(pos), x=jnp.asarray(x), x_bar=jnp.asarray(x),
+        data_term=jnp.asarray(x + rng.normal(0, 0.01, V).astype(np.float32)
+                              * vmask),
+        data_weight=jnp.asarray(vmask.astype(np.float32)),
+        vtx_mask=jnp.asarray(vmask),
+        edges=jnp.asarray(edges.astype(np.int32)),
+        alpha=jnp.asarray(alpha.astype(np.float32)),
+        beta=jnp.asarray(emask.astype(np.float32)),
+        edge_mask=jnp.asarray(emask))
+    return g, e, n_e, tris, n_used
+
+
+def bench_smooth(g, n_iters=40):
+    from flame_tpu.params import RegularizerParams
+    from flame_tpu.optimize import nltgv2
+    p = RegularizerParams()
+
+    variants = {"stacked": dict(stacked=True)}
+    for name, kw in variants.items():
+        def run(kw=kw):
+            out = nltgv2.smooth(p, g, n_iters, **kw)
+            np.asarray(out.x[0])
+        dt = timeit(run, inner=n_iters)
+        print(f"smooth/{name:24s} {dt*1e3:8.3f} ms/iter "
+              f"({dt*n_iters*1e3:7.2f} ms @ {n_iters})")
+
+
+def bench_mesh(g, tris_np, n_used):
+    from flame_tpu.params import Params
+    from flame_tpu.mesh import filters as mesh_filters
+    from flame_tpu.ops import rasterize as raster
+    from flame_tpu.core import pipeline
+
+    params = Params(min_height=-1e6, max_height=1e6)
+    H, W = 480, 640
+    K = jnp.asarray([[525., 0, 320], [0, 525., 240], [0, 0, 1]], jnp.float32)
+    Kinv = jnp.linalg.inv(K)
+    T_cap = 12288
+    tris = np.zeros((T_cap, 3), np.int32)
+    tris[:tris_np.shape[0]] = tris_np
+    tmask = np.zeros(T_cap, bool)
+    tmask[:tris_np.shape[0]] = True
+    tris_d = jnp.asarray(tris)
+    tmask_d = jnp.asarray(tmask)
+    scale = jnp.float32(1.0)
+
+    full = jax.jit(lambda g, t, m, s: pipeline.mesh_outputs(
+        params, K, Kinv, W, H, g, t, m, s))
+    vi = jnp.where(g.vtx_mask, g.x, 0.0)
+
+    def run_full():
+        outs = full(g, tris_d, tmask_d, scale)
+        np.asarray(outs[-1][0, 0])
+    print(f"mesh/full                  {timeit(run_full)*1e3:8.2f} ms")
+
+    nrm = jax.jit(lambda: mesh_filters.vertex_normals(Kinv, g.pos, vi,
+                                                      tris_d, tmask_d))
+    def run_n():
+        np.asarray(nrm()[0, 0])
+    print(f"mesh/normals               {timeit(run_n)*1e3:8.2f} ms")
+
+    filt = jax.jit(lambda: mesh_filters.apply_filters(
+        params.tri_filter, Kinv, W, g.pos, vi, tris_d, tmask_d))
+    def run_f():
+        np.asarray(filt()[0])
+    print(f"mesh/filters               {timeit(run_f)*1e3:8.2f} ms")
+
+    rast = jax.jit(lambda: raster.rasterize(g.pos, tris_d, vi, tmask_d,
+                                            H, W))
+    def run_r():
+        np.asarray(rast()[0, 0])
+    print(f"mesh/rasterize             {timeit(run_r)*1e3:8.2f} ms")
+
+
+def bench_topo(g, edges_np, n_e):
+    from flame_tpu.optimize import topology
+    V, E = g.x.shape[0], g.q1.shape[0]
+    edges_full = np.zeros((E, 2), np.int16)
+    edges_full[:n_e] = edges_np
+    edges_d = jnp.asarray(edges_full)
+
+    fe = jax.jit(lambda: topology.from_edges(
+        edges_d, jnp.int32(n_e), g.pos, g.edges, g.edge_mask,
+        g.q1, g.q2, g.q3, E, V, 16, build_incidence=False))
+    def run():
+        np.asarray(fe().alpha[0])
+    print(f"topo/from_edges            {timeit(run)*1e3:8.2f} ms")
+
+
+def bench_track():
+    import __graft_entry__ as ge
+    from flame_tpu.core import pipeline
+    from flame_tpu.params import Params, SolverParams
+
+    params = Params(feature_capacity=4096, edge_capacity=16384,
+                    triangle_capacity=12288, poseframe_capacity=16,
+                    min_height=-1e6, max_height=1e6,
+                    solver=SolverParams(max_vertex_degree=16))
+    H, W = 480, 640
+    K, Kinv, stack, feats, fnew, _ = ge._synthetic_state(
+        params, H, W, n_feat_used=2700)
+
+    def run():
+        out = pipeline.track_project_sync(params, K, Kinv, stack, feats,
+                                          fnew, 0)
+        np.asarray(out[0].idepth_mu[0])
+    print(f"track/track_project_sync   {timeit(run)*1e3:8.2f} ms")
+
+
+def bench_post(g, tris_np, edges_np, n_e, n_used):
+    from flame_tpu.params import Params, SolverParams
+    from flame_tpu.core import pipeline
+    from flame_tpu.geometry import epipolar, se3
+
+    V, E = g.x.shape[0], g.q1.shape[0]
+    params = Params(feature_capacity=V, edge_capacity=E,
+                    triangle_capacity=12288, poseframe_capacity=16,
+                    min_height=-1e6, max_height=1e6,
+                    solver=SolverParams(max_vertex_degree=16))
+    H, W = 480, 640
+    K = jnp.asarray([[525., 0, 320], [0, 525., 240], [0, 0, 1]], jnp.float32)
+    Kinv = jnp.linalg.inv(K)
+    T_cap = 12288
+    tris = np.zeros((T_cap, 3), np.int16)
+    tris[:tris_np.shape[0]] = tris_np
+    tris_d = jnp.asarray(tris)
+    edges_full = np.zeros((E, 2), np.int16)
+    edges_full[:n_e] = edges_np
+    edges_d = jnp.asarray(edges_full)
+
+    member = g.vtx_mask
+    curr = pipeline.CurrFeatures(
+        xy=g.pos, idepth=g.data_term, var=jnp.full((V,), 1e-3), valid=member)
+    geo = epipolar.load_relative(
+        K, Kinv, (se3.quat_identity(), jnp.zeros(3)),
+        (se3.quat_identity(), jnp.array([0.08, 0.0, 0.0])))
+
+    def run():
+        outs = pipeline.post_delaunay_step(
+            params, K, Kinv, g, member, curr, geo, jnp.float32(1.0),
+            tris_d, jnp.int32(tris_np.shape[0]), W, H, None,
+            edges_d, jnp.int32(n_e))
+        np.asarray(outs[-2][0, 0])
+    print(f"post/post_delaunay_step    {timeit(run)*1e3:8.2f} ms "
+          f"(incl. {params.solver.n_iters_per_frame} smooth iters)")
+
+
+def main():
+    global RTT
+    which = set(sys.argv[1:]) or {"all"}
+    print(f"device: {jax.devices()[0]}")
+    RTT = measure_rtt()
+    print(f"rtt: {RTT*1e3:.1f} ms")
+    g, edges_np, n_e, tris_np, n_used = make_graph()
+    print(f"graph: V=4096 used={n_used} E=16384 used={n_e} "
+          f"tris={tris_np.shape[0]}")
+
+    if which & {"all", "smooth"}:
+        bench_smooth(g)
+    if which & {"all", "mesh"}:
+        bench_mesh(g, tris_np, n_used)
+    if which & {"all", "topo"}:
+        bench_topo(g, edges_np, n_e)
+    if which & {"all", "track"}:
+        bench_track()
+    if which & {"all", "post"}:
+        bench_post(g, tris_np, edges_np, n_e, n_used)
+
+
+if __name__ == "__main__":
+    main()
