@@ -22,7 +22,9 @@ drained at the next update, reproducing the reference's detection-thread
 timing (flame.cc:708-773 vs :250-260).
 """
 
+import collections
 import math
+import threading
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -40,6 +42,39 @@ from flame_tpu.utils.stats import StatsTracker
 # Jitted two-view geometry construction (eager SE(3)+matmul chains cost
 # dozens of per-op dispatches through the device tunnel).
 _load_rel = jax.jit(epipolar.load_relative)
+
+
+class _AsyncFetch:
+    """Staged device->host transfer on a background thread.
+
+    Two hard-won facts about the tunneled device drive this design:
+      * copy_to_host_async() CORRUPTS device state when the host runs more
+        than a frame ahead of the device (measured: feature idepth state
+        off by >100x under a 2-frame topology lag, clean without it).
+      * A plain np.asarray waits for everything enqueued before it, so a
+        blocking fetch costs queue-drain + ~26 ms RPC round trip.
+    A daemon thread issuing np.asarray overlaps that round trip with host
+    Delaunay and later dispatches; with solver.topology_lag=2 the result
+    is consumed a full frame after the transfer completes.
+    """
+
+    __slots__ = ("_dev", "_np", "_thread")
+
+    def __init__(self, dev_arr):
+        self._dev = dev_arr
+        self._np = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        self._np = np.asarray(self._dev)
+
+    def ready(self) -> bool:
+        return not self._thread.is_alive()
+
+    def get(self) -> np.ndarray:
+        self._thread.join()
+        return self._np
 
 
 class Flame:
@@ -93,7 +128,13 @@ class Flame:
         self._pending: list = []  # staged detections: (xy np, pf_slot)
         # (tris_dev, n_tris, tris_np, edges_np) staged for async topology.
         self._staged_tris = None
-        self._packed_pending = None  # in-flight packed track transfer
+        # In-flight packed track transfers (oldest first, stamped with
+        # num_imgs), consumed with solver.topology_lag frames of delay.
+        self._packed_queue = collections.deque()
+        # Recently allocated feature slots (frame_idx, slots): re-marked
+        # valid when a pre-dating packed snapshot refreshes the mirror, so
+        # staleness never lets a new detection overwrite a live feature.
+        self._recent_adds = collections.deque()
         self._n_members = 0
         self._last_stats_dev = jnp.zeros(pipeline.N_STATS, jnp.int32)
         self._last_track_obs = None
@@ -144,16 +185,17 @@ class Flame:
         # with no features yet.
         if (not self.inited and is_poseframe and self._n_valid == 0
                 and not self._pending):
-            if p.solver.async_topology and self._packed_pending is not None:
-                # Need a current mirror before bootstrap decisions.
-                pk = self._packed_pending
-                self._packed_pending = None
-                self._consume_packed(np.asarray(pk))
+            if p.solver.async_topology and self._packed_queue:
+                # Need a current mirror before bootstrap decisions: consume
+                # the newest queued transfer, discard older ones.
+                pk, pk_frame, det_slot, det_fid = self._packed_queue[-1]
+                self._packed_queue.clear()
+                self._consume_packed(pk.get(), pk_frame, det_slot, det_fid)
             if self._n_valid == 0:
                 self._detect_on_poseframe(self._curr_pf_slot)
-                self._drain_pending()
+                self._drain_pending(force=True)
 
-        if self._n_valid == 0 and self._packed_pending is None:
+        if self._n_valid == 0 and not self._packed_queue:
             self.stats.tock("update")
             return False
 
@@ -168,35 +210,69 @@ class Flame:
         self._last_stats_dev = stat_vec  # fetched lazily by failure_stats()
         self.stats.tock("update_idepths")
 
-        # Async pipelining: consume the PREVIOUS frame's packed transfer
-        # (issued a frame ago, long complete) and triangulate it now, while
-        # the device chews on the track dispatch above — the TPU analogue
-        # of the reference's thread pipelining (flame.cc:98-116). Staged
-        # detections drain afterwards; their features enter tracking next
-        # frame (they are baseline-gated this frame anyway).
-        if p.solver.async_topology and self._packed_pending is not None:
-            pk = self._packed_pending
-            self._packed_pending = None
-            if not self._consume_packed(np.asarray(pk)):
-                self.stats.tock("update")
-                return False
+        # Async pipelining: consume a packed transfer issued topology_lag
+        # frames ago (long complete) and triangulate it now, while the
+        # device chews on the track dispatch above — the TPU analogue of
+        # the reference's thread pipelining (flame.cc:98-116). Lag 2 gives
+        # the device->host round trip a full frame to finish so the join
+        # below never blocks. Detection winners ride the same transfer and
+        # drain here too (the reference's detection thread likewise
+        # delivers a frame late, flame.cc:737-757).
+        if p.solver.async_topology:
+            lag = max(int(p.solver.topology_lag), 1)
+            pk = None
+            while len(self._packed_queue) >= lag:
+                pk, pk_frame, det_slot, det_fid = self._packed_queue.popleft()
+            if pk is not None:
+                self.stats.tick("fetch_packed")
+                pk_np = pk.get()
+                self.stats.tock("fetch_packed")
+                if not self._consume_packed(pk_np, pk_frame, det_slot,
+                                            det_fid):
+                    self.stats.tock("update")
+                    return False
 
-        # Drain staged detections (reference new_feats_ drain :250-260).
-        self._drain_pending()
+        # Drain bootstrap detections (reference new_feats_ drain :250-260;
+        # steady-state detections ride the packed transfer instead).
+        self._drain_pending(force=True)
 
         if self._n_valid == 0:
             self.stats.tock("update")
             return False
 
-        packed_dev = pipeline.pack_track_outputs(feats, curr, member)
+        # Detection on poseframes (reference detectFeatures via the
+        # detection thread, flame.cc:822-1278), fused into the SAME packed
+        # transfer as the track outputs: the tunneled device corrupts state
+        # when two fetch streams are in flight, and one transfer saves a
+        # ~26 ms round trip.
+        det_dev = None
+        det_slot = None
+        det_fid = None
+        if (is_poseframe and self._fprev is not None
+                and (p.detection.continuous or self.num_data_updates < 1)):
+            self.stats.tick("detection")
+            row_offset = self.height // 3 if p.detection.do_letterbox else 0
+            geo = _load_rel(self.K, self.Kinv,
+                            (self._stack.q[self._curr_pf_slot],
+                             self._stack.t[self._curr_pf_slot]),
+                            (self._fprev.q, self._fprev.t))
+            det_dev = detection.detect_packed(
+                geo, self._stack.gradx[self._curr_pf_slot],
+                self._stack.grady[self._curr_pf_slot],
+                curr.xy, curr.valid, p.detection.min_grad_mag,
+                p.detection.win_size, p.border, row_offset)
+            det_slot = self._curr_pf_slot
+            det_fid = frame_id
+            self.stats.tock("detection")
+
+        packed_dev = pipeline.pack_track_outputs(feats, curr, member,
+                                                 det_dev)
         if p.solver.async_topology:
-            # Stage the fetch; it completes during the device work below and
-            # is consumed at the next update.
-            try:
-                packed_dev.copy_to_host_async()
-            except Exception:
-                pass
-            self._packed_pending = packed_dev
+            # Stage the transfer now — before the post-Delaunay dispatch,
+            # so it rides the device queue ahead of it — and consume it
+            # topology_lag updates from now.
+            self._packed_queue.append((_AsyncFetch(packed_dev),
+                                       self.num_imgs, det_slot, det_fid))
             if self._staged_tris is not None:
                 self.stats.tick("sync_graph")
                 (tris_dev, n_tris, tris_np, edges_np, edges_dev,
@@ -210,7 +286,8 @@ class Flame:
                 self.stats.tock("sync_graph")
         else:
             # Synchronous: fetch, triangulate, and run in-frame.
-            if not self._consume_packed(np.asarray(packed_dev)):
+            if not self._consume_packed(np.asarray(packed_dev),
+                                        self.num_imgs, det_slot, det_fid):
                 self.stats.tock("update")
                 return False
             (tris_dev, n_tris, tris_np, edges_np, edges_dev,
@@ -227,10 +304,6 @@ class Flame:
         if is_poseframe:
             self._stack = frame_mod.set_idepthmap(
                 self._stack, self._curr_pf_slot, self._idepthmap)
-            if p.detection.continuous or self.num_data_updates < 1:
-                self.stats.tick("detection")
-                self._detect_on_poseframe(self._curr_pf_slot)
-                self.stats.tock("detection")
             if self._ba is not None:
                 self.stats.tick("ba")
                 self._ba.ingest(self, track_obs, frame_id)
@@ -271,17 +344,40 @@ class Flame:
     # Host helpers.
     # ------------------------------------------------------------------
 
-    def _consume_packed(self, packed: np.ndarray) -> bool:
+    def _consume_packed(self, packed: np.ndarray, packed_frame: int = None,
+                        det_slot: int = None, det_fid: int = None) -> bool:
         """Digest a packed track transfer: update host mirrors, run the
-        too-few-features lifecycle checks, triangulate the member set, and
-        stage the triangle upload. Returns False when the frame cannot
-        proceed (reference flame.cc:281-290 / syncGraph early-outs)."""
+        too-few-features lifecycle checks, insert any detection winners
+        riding the transfer, triangulate the member set, and stage the
+        triangle upload. Returns False when the frame cannot proceed
+        (reference flame.cc:281-290 / syncGraph early-outs).
+
+        packed_frame: num_imgs at the time the transfer was staged. The
+        snapshot predates any features added at or after that frame, so
+        their slots are re-marked valid to keep the allocator from
+        recycling live slots. det_slot/det_fid identify the poseframe the
+        trailing detection rows (if any) belong to."""
         p = self.params
+        N = p.feature_capacity
+        det_rows = packed[N:]
+        packed = packed[:N]
         curr_xy_np = packed[:, :2]
         member_np = packed[:, 2] > 0
         self._feat_valid_np = packed[:, 4] > 0
+        if packed_frame is not None:
+            while self._recent_adds and self._recent_adds[0][0] < packed_frame:
+                self._recent_adds.popleft()
+            for _, slots in self._recent_adds:
+                self._feat_valid_np[slots] = True
         self._n_valid = int(self._feat_valid_np.sum())
         self._n_members = int(member_np.sum())
+
+        if det_rows.shape[0] and det_slot is not None:
+            # Detection winners from the staging frame's poseframe; dropped
+            # if that poseframe has been pruned meanwhile (reference
+            # flame.cc:580-589).
+            if self._pf_slot_by_id.get(det_fid) == det_slot:
+                self._add_detected(det_rows, det_slot)
 
         n_valid = int((packed[:, 3] > 0).sum())
         if n_valid < 3:
@@ -376,43 +472,46 @@ class Flame:
             geo, self._stack.gradx[pf_slot], self._stack.grady[pf_slot],
             self._curr.xy, self._curr.valid, p.detection.min_grad_mag,
             p.detection.win_size, p.border, row_offset)
-        try:
-            out_dev.copy_to_host_async()
-        except Exception:
-            pass
-        self._pending.append((out_dev, pf_slot))
+        self._pending.append((_AsyncFetch(out_dev), pf_slot))
 
-    def _drain_pending(self):
-        if not self._pending:
-            return
+    def _add_detected(self, det_out: np.ndarray, pf_slot: int):
+        """Insert detection winners ([x, y, take] rows) into free feature
+        slots, seeding idepth from the poseframe's dense map
+        (reference flame.cc:737-757)."""
         p = self.params
         free = np.nonzero(~self._feat_valid_np)[0]
-        for out, pf_slot in self._pending:
-            if free.shape[0] == 0:
-                break
-            out = np.asarray(out)  # staged transfer; complete by now
-            take = out[:, 2] > 0
-            if not take.any():
-                continue
-            xy = out[take, :2].astype(np.float32)
-            n = min(xy.shape[0], free.shape[0], self._add_cap)
-            slots = np.zeros(self._add_cap, np.int32)
-            slots[:n] = free[:n]
-            self._feat_valid_np[free[:n]] = True
-            self._n_valid += n
-            free = free[n:]
-            use = np.zeros(self._add_cap, bool)
-            use[:n] = True
-            xy_pad = np.zeros((self._add_cap, 2), np.float32)
-            xy_pad[:n] = xy[:n]
+        if free.shape[0] == 0:
+            return
+        take = det_out[:, 2] > 0
+        if not take.any():
+            return
+        xy = det_out[take, :2].astype(np.float32)
+        n = min(xy.shape[0], free.shape[0], self._add_cap)
+        slots = np.zeros(self._add_cap, np.int32)
+        slots[:n] = free[:n]
+        self._feat_valid_np[free[:n]] = True
+        self._recent_adds.append((self.num_imgs, free[:n].copy()))
+        self._n_valid += n
+        use = np.zeros(self._add_cap, bool)
+        use[:n] = True
+        xy_pad = np.zeros((self._add_cap, 2), np.float32)
+        xy_pad[:n] = xy[:n]
 
-            mu, var = pipeline.seed_new_features(
-                jnp.asarray(xy_pad), self._stack.idepthmap[pf_slot],
-                p.idepth_init, p.idepth_var_init, self._add_cap)
-            self._feats = pipeline.add_features(
-                self._feats, jnp.asarray(slots), jnp.asarray(xy_pad),
-                pf_slot, mu, var, jnp.asarray(use), self._feat_id_counter)
-            self._feat_id_counter += self._add_cap
+        mu, var = pipeline.seed_new_features(
+            jnp.asarray(xy_pad), self._stack.idepthmap[pf_slot],
+            p.idepth_init, p.idepth_var_init, self._add_cap)
+        self._feats = pipeline.add_features(
+            self._feats, jnp.asarray(slots), jnp.asarray(xy_pad),
+            pf_slot, mu, var, jnp.asarray(use), self._feat_id_counter)
+        self._feat_id_counter += self._add_cap
+
+    def _drain_pending(self, force: bool = True):
+        """Drain bootstrap-staged detections (steady-state detections ride
+        the packed transfer instead; see update())."""
+        if not self._pending:
+            return
+        for out, pf_slot in self._pending:
+            self._add_detected(out.get(), pf_slot)
         self._pending = []
 
     # ------------------------------------------------------------------
@@ -496,7 +595,8 @@ class Flame:
         self._tri_mask = jnp.zeros_like(self._tri_mask)
         self._pending = []
         self._staged_tris = None
-        self._packed_pending = None
+        self._packed_queue.clear()
+        self._recent_adds.clear()
         self._feat_valid_np = np.zeros(p.feature_capacity, bool)
         self._n_valid = 0
 

@@ -448,16 +448,25 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
 
 
 @jax.jit
-def pack_track_outputs(feats: FeatureState, curr: CurrFeatures, member):
+def pack_track_outputs(feats: FeatureState, curr: CurrFeatures, member,
+                       det_out=None):
     """Pack everything the host needs after tracking into one small array
-    (one device->host transfer instead of five): columns are
-    [x, y, member, curr_valid, feat_valid]."""
-    return jnp.concatenate([
+    (ONE device->host transfer per frame): rows [0, N) are per-feature
+    [x, y, member, curr_valid, feat_valid]; when det_out (C, 3) from
+    detection.detect_packed is given, rows [N, N+C) carry the detection
+    winners [x, y, take, 0, 0]. Merging detection into the same transfer
+    keeps the tunnel to a single in-flight fetch stream."""
+    rows = jnp.concatenate([
         curr.xy,
         member[:, None].astype(jnp.float32),
         curr.valid[:, None].astype(jnp.float32),
         feats.valid[:, None].astype(jnp.float32),
     ], axis=1)
+    if det_out is not None:
+        det_rows = jnp.concatenate(
+            [det_out, jnp.zeros((det_out.shape[0], 2), jnp.float32)], axis=1)
+        rows = jnp.concatenate([rows, det_rows], axis=0)
+    return rows
 
 
 @functools.partial(jax.jit, static_argnames=("params", "width", "height"))

@@ -100,12 +100,15 @@ class SolverParams:
     # sizes (hash-map edge traversal ~3 ms/iteration at 16k edges).
     n_iters_per_frame: int = 40
     max_vertex_degree: int = 16  # Capacity of the per-vertex incidence table.
-    # One-frame-lag triangulation: smooth on the previous frame's topology
-    # while the host triangulates the current one in parallel — the TPU
-    # analogue of the reference's free-running graph thread decoupling
-    # (flame.cc:98-112). Edges/triangles touching vertices that left the
-    # graph are masked out, so staleness is inert.
+    # Lagged triangulation: smooth on a topology that is topology_lag
+    # frames old while the host triangulates newer member sets in parallel
+    # — the TPU analogue of the reference's free-running graph thread
+    # decoupling (flame.cc:98-112). Edges/triangles touching vertices that
+    # left the graph are masked out, so staleness is inert. Lag 2 hides the
+    # full device->host round trip of the member-position fetch (~30 ms on
+    # a tunneled device) behind a whole frame.
     async_topology: bool = False
+    topology_lag: int = 2
 
 
 @dataclass(frozen=True)
