@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from flame_tpu.geometry import se3, epipolar
 from flame_tpu.mesh import delaunay, filters
-from flame_tpu.optimize import nltgv2
+from flame_tpu.optimize import nltgv2, topology
 from flame_tpu.ops import rasterize
 from flame_tpu.params import Params
 from flame_tpu.core import detection, frame as frame_mod, keyframe, pipeline
@@ -276,13 +276,13 @@ class Flame:
             if self._staged_tris is not None:
                 self.stats.tick("sync_graph")
                 (tris_dev, n_tris, tris_np, edges_np, edges_dev,
-                 n_edges) = self._staged_tris
+                 n_edges, ranks_dev) = self._staged_tris
                 self._tris_np = tris_np
                 self._edges_np = edges_np
                 self._n_edges = n_edges
                 self._n_tris = n_tris
                 self._run_post_delaunay(member, curr, tris_dev, n_tris,
-                                        edges_dev, n_edges)
+                                        edges_dev, n_edges, ranks_dev)
                 self.stats.tock("sync_graph")
         else:
             # Synchronous: fetch, triangulate, and run in-frame.
@@ -291,14 +291,14 @@ class Flame:
                 self.stats.tock("update")
                 return False
             (tris_dev, n_tris, tris_np, edges_np, edges_dev,
-             n_edges) = self._staged_tris
+             n_edges, ranks_dev) = self._staged_tris
             self.stats.tick("sync_graph")
             self._tris_np = tris_np
             self._edges_np = edges_np
             self._n_edges = n_edges
             self._n_tris = n_tris
             self._run_post_delaunay(member, curr, tris_dev, n_tris,
-                                    edges_dev, n_edges)
+                                    edges_dev, n_edges, ranks_dev)
             self.stats.tock("sync_graph")
 
         if is_poseframe:
@@ -412,15 +412,20 @@ class Flame:
         idt = np.int16 if p.feature_capacity <= 32767 else np.int32
         edges_full = np.zeros((E_cap, 2), idt)
         edges_full[: edges_sorted.shape[0]] = edges_sorted
+        # Per-edge incidence slot ranks: lets the device build the [V, D]
+        # incidence tables with two scatters instead of a 2E-key argsort.
+        ranks = topology.build_edge_ranks(edges_sorted, p.feature_capacity,
+                                          E_cap)
 
         self._staged_tris = (jnp.asarray(tris_full), tris_slots.shape[0],
                              tris_slots, edges_sorted,
                              jnp.asarray(edges_full),
-                             edges_sorted.shape[0])
+                             edges_sorted.shape[0],
+                             jnp.asarray(ranks))
         return True
 
     def _run_post_delaunay(self, member, curr, tris_dev, n_tris: int,
-                           edges_dev=None, n_edges: int = 0):
+                           edges_dev=None, n_edges: int = 0, ranks_dev=None):
         """Dispatch the fused topology+sync+smooth+mesh step."""
         p = self.params
         fprev = self._fprev if self._fprev is not None else self._fnew
@@ -433,7 +438,7 @@ class Flame:
             self._graph_scale_dev, tris_dev,
             jnp.int32(n_tris), self.width, self.height,
             self._idepthmap if p.init_with_prediction else None,
-            edges_dev, jnp.int32(n_edges))
+            edges_dev, jnp.int32(n_edges), ranks_dev)
         self._tris = tris_dev.astype(jnp.int32)
         self._tri_mask = jnp.arange(tris_dev.shape[0]) < n_tris
         if p.do_nltgv2:

@@ -377,7 +377,8 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
                        member, curr: CurrFeatures,
                        geo_prev_to_new: epipolar.EpiGeo, graph_scale,
                        tris, n_tris, width: int, height: int,
-                       prev_idepthmap=None, edges=None, n_edges=None):
+                       prev_idepthmap=None, edges=None, n_edges=None,
+                       edge_ranks=None):
     """Everything between host Delaunay and the next frame, fused into ONE
     dispatch: device-side edge topology + dual carry (from the uploaded
     triangle array alone), graph synchronization, K smoothing iterations,
@@ -396,7 +397,8 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
     if edges is not None:
         topo = topo_mod.from_edges(
             edges, n_edges, curr.xy, graph.edges, graph.edge_mask,
-            graph.q1, graph.q2, graph.q3, E, V, D, build_incidence=True)
+            graph.q1, graph.q2, graph.q3, E, V, D, build_incidence=True,
+            ranks=edge_ranks)
     else:
         topo = topo_mod.from_triangles(
             tris, n_tris, curr.xy, graph.edges, graph.edge_mask,

@@ -21,6 +21,7 @@ Everything is fixed-shape and fuses into the per-frame post-Delaunay jit.
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -88,17 +89,81 @@ def _build_incidence_device(lo_e, hi_e, edge_mask, e_cap, v_cap, degree):
             src_slot[:e_cap])
 
 
+def _build_incidence_from_ranks(lo_e, hi_e, edge_mask, ranks, e_cap, v_cap,
+                                degree):
+    """Scatter-only incidence build from host-computed slot ranks.
+
+    ranks: (E, 2) uint8 — [src_rank, dst_slot_rank] per edge, where
+    src_rank is the edge's rank among its lo-vertex's outgoing edges and
+    dst_slot_rank = n_src(hi) + rank among hi's incoming edges (so src and
+    dst entries occupy disjoint slot ranges per vertex). Replaces the
+    device-side 2E-key argsort (~4 ms on TPU v5e) with two scatters.
+    """
+    sr = ranks[:, 0].astype(jnp.int32)
+    dr = ranks[:, 1].astype(jnp.int32)
+    keep_s = edge_mask & (sr < degree)
+    keep_d = edge_mask & (dr < degree)
+    sentinel = jnp.int32(v_cap * degree)
+    slot_s = jnp.where(keep_s, lo_e * degree + sr, sentinel)
+    slot_d = jnp.where(keep_d, hi_e * degree + dr, sentinel)
+    eids = jnp.arange(e_cap, dtype=jnp.int32)
+
+    inc_edge = jnp.zeros((v_cap * degree + 1,), jnp.int32)
+    inc_edge = inc_edge.at[slot_s].set(eids, mode="drop")
+    inc_edge = inc_edge.at[slot_d].set(eids, mode="drop")
+    inc_sign = jnp.zeros((v_cap * degree + 1,), jnp.float32)
+    inc_sign = inc_sign.at[slot_s].set(
+        jnp.where(keep_s, 1.0, 0.0), mode="drop")
+    inc_sign = inc_sign.at[slot_d].set(
+        jnp.where(keep_d, -1.0, 0.0), mode="drop")
+
+    src_slot = jnp.where(keep_s, slot_s,
+                         jnp.where(keep_d, slot_d, sentinel))
+    return (inc_edge[:-1].reshape(v_cap, degree),
+            inc_sign[:-1].reshape(v_cap, degree),
+            src_slot)
+
+
+def build_edge_ranks(edges_sorted: np.ndarray, n_vertices: int,
+                     e_cap: int) -> np.ndarray:
+    """Host-side companion to _build_incidence_from_ranks.
+
+    edges_sorted: (n_e, 2) canonical (lo, hi) sorted by lo*V+hi. Returns
+    (e_cap, 2) uint8 [src_rank, dst_slot_rank] (255-saturated), padded.
+    """
+    _np = np
+    n_e = edges_sorted.shape[0]
+    ranks = _np.zeros((e_cap, 2), _np.uint8)
+    if n_e == 0:
+        return ranks
+    lo = edges_sorted[:, 0].astype(_np.int64)
+    hi = edges_sorted[:, 1].astype(_np.int64)
+    first = _np.searchsorted(lo, lo, side="left")
+    src_rank = _np.arange(n_e) - first
+    n_src = _np.bincount(lo, minlength=n_vertices)
+    order = _np.argsort(hi, kind="stable")
+    hs = hi[order]
+    firsth = _np.searchsorted(hs, hs, side="left")
+    rankh = _np.empty(n_e, _np.int64)
+    rankh[order] = _np.arange(n_e) - firsth
+    dst_slot_rank = n_src[hi] + rankh
+    ranks[:n_e, 0] = _np.minimum(src_rank, 255)
+    ranks[:n_e, 1] = _np.minimum(dst_slot_rank, 255)
+    return ranks
+
+
 @functools.partial(jax.jit, static_argnames=("e_cap", "v_cap", "degree",
                                              "build_incidence"))
 def from_edges(edges_in, n_edges, pos, prev_edges, prev_edge_mask,
                prev_q1, prev_q2, prev_q3,
                e_cap: int, v_cap: int, degree: int,
-               build_incidence: bool = False) -> Topology:
+               build_incidence: bool = False, ranks=None) -> Topology:
     """Like from_triangles, but the host supplies the unique edge list
     directly (canonical (lo, hi), sorted by lo*V+hi code, padded to E) —
     the host already has it from Delaunay, so the device-side
     3T-key sort/unique is unnecessary. Only carry-over, alpha, and the
-    optional incidence remain on device.
+    optional incidence remain on device. When the host also supplies slot
+    ranks (build_edge_ranks), the incidence build is scatter-only.
     """
     edges = edges_in.astype(jnp.int32)
     edge_mask = jnp.arange(e_cap) < n_edges
@@ -122,7 +187,10 @@ def from_edges(edges_in, n_edges, pos, prev_edges, prev_edge_mask,
     q2 = jnp.where(match, prev_q2[posn_c], 0.0)
     q3 = jnp.where(match, prev_q3[posn_c], 0.0)
 
-    if build_incidence:
+    if build_incidence and ranks is not None:
+        inc_edge, inc_sign, src_slot = _build_incidence_from_ranks(
+            lo_e, hi_e, edge_mask, ranks, e_cap, v_cap, degree)
+    elif build_incidence:
         inc_edge, inc_sign, src_slot = _build_incidence_device(
             lo_e, hi_e, edge_mask, e_cap, v_cap, degree)
     else:

@@ -150,3 +150,44 @@ def test_from_edges_matches_from_triangles(rng):
                                np.asarray(jnp.where(topo_t.edge_mask, q, 0)),
                                atol=1e-7)
     assert int(topo_e.n_edges) == int(topo_t.n_edges)
+
+
+def test_rank_based_incidence_matches_argsort(rng):
+    """The scatter-only incidence build (host-computed ranks) must produce
+    the same per-vertex incidence sets and a consistent src_slot as the
+    device argsort build."""
+    tris, pos = make_mesh(rng)
+    edges = np.array(host_edges(tris), np.int64)
+    order = np.argsort(edges[:, 0] * V_CAP + edges[:, 1])
+    edges_sorted = edges[order]
+    edges_full = np.zeros((E_CAP, 2), np.int16)
+    edges_full[: edges_sorted.shape[0]] = edges_sorted
+    ranks = topology.build_edge_ranks(edges_sorted, V_CAP, E_CAP)
+
+    prev_edges = jnp.zeros((E_CAP, 2), jnp.int32)
+    prev_mask = jnp.zeros(E_CAP, bool)
+    zq = jnp.zeros(E_CAP)
+    common = (jnp.asarray(edges_full), jnp.int32(edges_sorted.shape[0]),
+              jnp.asarray(pos), prev_edges, prev_mask, zq, zq, zq,
+              E_CAP, V_CAP, DEG)
+    topo_a = topology.from_edges(*common, build_incidence=True)
+    topo_r = topology.from_edges(*common, build_incidence=True,
+                                 ranks=jnp.asarray(ranks))
+
+    for v in range(V_CAP):
+        got = {(int(e), float(s)) for e, s in
+               zip(np.asarray(topo_r.inc_edge)[v],
+                   np.asarray(topo_r.inc_sign)[v]) if s != 0}
+        want = {(int(e), float(s)) for e, s in
+                zip(np.asarray(topo_a.inc_edge)[v],
+                    np.asarray(topo_a.inc_sign)[v]) if s != 0}
+        assert got == want, f"vertex {v}"
+
+    # src_slot must point at a slot holding the edge with sign +1.
+    ss = np.asarray(topo_r.src_slot)
+    ie = np.asarray(topo_r.inc_edge).reshape(-1)
+    isg = np.asarray(topo_r.inc_sign).reshape(-1)
+    for e in range(edges_sorted.shape[0]):
+        s = ss[e]
+        assert s < V_CAP * DEG
+        assert ie[s] == e and isg[s] == 1.0, e
