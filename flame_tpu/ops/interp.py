@@ -15,6 +15,26 @@ import jax
 import jax.numpy as jnp
 
 
+def _pack4(flat: jax.Array, W: int) -> jax.Array:
+    """(H*W,) -> (H*W, 4) rows [v(i), v(i+1), v(i+W), v(i+W+1)].
+
+    Packing the 2x2 corner neighborhood into one row turns bilinear
+    sampling into a single ROW gather with 1/4 the indices: TPU gather
+    cost is per-index, not per-byte (22x faster at 4096x44 samples on
+    v5e: 0.18 vs 3.9 ms). The jnp.roll wraparound rows are never gathered
+    (positions are clamped to the interior).
+    """
+    return jnp.stack([flat,
+                      jnp.roll(flat, -1),
+                      jnp.roll(flat, -W),
+                      jnp.roll(flat, -W - 1)], axis=1)
+
+
+def _weights4(dx, dy):
+    return jnp.concatenate([(1 - dx) * (1 - dy), dx * (1 - dy),
+                            (1 - dx) * dy, dx * dy], axis=-1)
+
+
 def bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     """Sample img (H, W) at float positions (x, y) of any batch shape.
 
@@ -29,21 +49,11 @@ def bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     y0 = jnp.floor(y)
     dx = (x - x0)[..., None]
     dy = (y - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
 
-    flat = img.reshape(-1)
-    idx00 = y0i * W + x0i
-    # Gather the 2x2 neighborhood in one shot: (..., 4).
-    idx = jnp.stack([idx00, idx00 + 1, idx00 + W, idx00 + W + 1], axis=-1)
-    v = flat[idx].astype(jnp.float32)
-
-    w00 = (1 - dx) * (1 - dy)
-    w01 = dx * (1 - dy)
-    w10 = (1 - dx) * dy
-    w11 = dx * dy
-    w = jnp.concatenate([w00, w01, w10, w11], axis=-1)
-    return jnp.sum(v * w, axis=-1)
+    img4 = _pack4(img.reshape(-1).astype(jnp.float32), W)
+    idx00 = y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
+    v = img4[idx00]  # (..., 4) — one row gather
+    return jnp.sum(v * _weights4(dx, dy), axis=-1)
 
 
 def bilinear_uv(img: jax.Array, uv: jax.Array) -> jax.Array:
@@ -65,22 +75,15 @@ def bilinear_stack(imgs: jax.Array, frame_idx: jax.Array, x: jax.Array,
     y0 = jnp.floor(y)
     dx = (x - x0)[..., None]
     dy = (y - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
 
-    flat = imgs.reshape(-1)
+    # Same packed-corner row gather as bilinear(); the roll wraparound
+    # between adjacent frames is never gathered (interior clamp keeps
+    # idx00 + W + 1 within the sample's own frame).
+    img4 = _pack4(imgs.reshape(-1).astype(jnp.float32), W)
     fidx = jnp.clip(frame_idx, 0, F - 1).astype(jnp.int32)
-    base = fidx * (H * W)
-    idx00 = base + y0i * W + x0i
-    idx = jnp.stack([idx00, idx00 + 1, idx00 + W, idx00 + W + 1], axis=-1)
-    v = flat[idx].astype(jnp.float32)
-
-    w00 = (1 - dx) * (1 - dy)
-    w01 = dx * (1 - dy)
-    w10 = (1 - dx) * dy
-    w11 = dx * dy
-    w = jnp.concatenate([w00, w01, w10, w11], axis=-1)
-    return jnp.sum(v * w, axis=-1)
+    idx00 = fidx * (H * W) + y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
+    v = img4[idx00]
+    return jnp.sum(v * _weights4(dx, dy), axis=-1)
 
 
 def nearest(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
