@@ -76,13 +76,20 @@ def bilinear_stack(imgs: jax.Array, frame_idx: jax.Array, x: jax.Array,
     dx = (x - x0)[..., None]
     dy = (y - y0)[..., None]
 
-    # Same packed-corner row gather as bilinear(); the roll wraparound
-    # between adjacent frames is never gathered (interior clamp keeps
-    # idx00 + W + 1 within the sample's own frame).
-    img4 = _pack4(imgs.reshape(-1).astype(jnp.float32), W)
     fidx = jnp.clip(frame_idx, 0, F - 1).astype(jnp.int32)
     idx00 = fidx * (H * W) + y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
-    v = img4[idx00]
+    flat = imgs.reshape(-1).astype(jnp.float32)
+    if x.size >= 16384:
+        # Packed-corner row gather as in bilinear(); the roll wraparound
+        # between adjacent frames is never gathered (interior clamp keeps
+        # idx00 + W + 1 within the sample's own frame).
+        v = _pack4(flat, W)[idx00]
+    else:
+        # Small query: building the (F*H*W, 4) packed matrix costs more
+        # HBM traffic than the 4x index reduction saves.
+        idx = jnp.stack([idx00, idx00 + 1, idx00 + W, idx00 + W + 1],
+                        axis=-1)
+        v = flat[idx]
     return jnp.sum(v * _weights4(dx, dy), axis=-1)
 
 
