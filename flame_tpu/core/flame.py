@@ -58,16 +58,27 @@ class _AsyncFetch:
     is consumed a full frame after the transfer completes.
     """
 
-    __slots__ = ("_dev", "_np", "_thread")
+    __slots__ = ("_dev", "_np", "_thread", "_post", "_extra")
 
-    def __init__(self, dev_arr):
+    def __init__(self, dev_arr, post=None):
+        """post: optional host-side callable run on the fetched array INSIDE
+        the worker thread (numpy/ctypes only — no jax dispatches, which must
+        stay on the main thread to keep the device queue ordered). Its
+        result is returned by get() alongside the array. Used to overlap
+        Delaunay triangulation with device compute, the way the reference
+        overlaps its detection/graph threads with update() (flame.cc:98-116).
+        """
         self._dev = dev_arr
         self._np = None
+        self._post = post
+        self._extra = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
         self._np = np.asarray(self._dev)
+        if self._post is not None:
+            self._extra = self._post(self._np)
 
     def ready(self) -> bool:
         return not self._thread.is_alive()
@@ -75,6 +86,10 @@ class _AsyncFetch:
     def get(self) -> np.ndarray:
         self._thread.join()
         return self._np
+
+    def get_extra(self):
+        self._thread.join()
+        return self._extra
 
 
 class Flame:
@@ -106,6 +121,7 @@ class Flame:
         self._graph = nltgv2.empty(N, E, p.solver.max_vertex_degree)
         self._tris = jnp.zeros((T, 3), jnp.int32)
         self._tri_mask = jnp.zeros((T,), bool)
+        self._tris_staged = None  # raw (tris_dev, n_tris) awaiting _ensure
         self._tri_validity = jnp.zeros((T,), bool)
         self._vtx_idepths = jnp.zeros((N,), jnp.float32)
         self._vtx_normals = jnp.zeros((N, 3), jnp.float32)
@@ -190,7 +206,8 @@ class Flame:
                 # the newest queued transfer, discard older ones.
                 pk, pk_frame, det_slot, det_fid = self._packed_queue[-1]
                 self._packed_queue.clear()
-                self._consume_packed(pk.get(), pk_frame, det_slot, det_fid)
+                self._consume_packed(pk.get(), pk_frame, det_slot, det_fid,
+                                     tri_result=pk.get_extra())
             if self._n_valid == 0:
                 self._detect_on_poseframe(self._curr_pf_slot)
                 self._drain_pending(force=True)
@@ -199,11 +216,22 @@ class Flame:
             self.stats.tock("update")
             return False
 
-        # --- Track + measure + fuse + project + gate (device). ---
+        # --- Track + measure + fuse + project + gate + detect + pack:
+        # ONE device dispatch (detection on poseframes rides along,
+        # reference detectFeatures via the detection thread,
+        # flame.cc:822-1278; its winners ride the same packed transfer).
+        do_detect = bool(
+            is_poseframe and self._fprev is not None
+            and (p.detection.continuous or self.num_data_updates < 1))
+        det_slot = self._curr_pf_slot if do_detect else None
+        det_fid = frame_id if do_detect else None
         self.stats.tick("update_idepths")
-        feats, curr, member, stat_vec, track_obs = pipeline.track_project_sync(
+        prev_q = self._fprev.q if self._fprev is not None else self._fnew.q
+        prev_t = self._fprev.t if self._fprev is not None else self._fnew.t
+        (feats, curr, member, stat_vec, track_obs,
+         packed_dev) = pipeline.track_step(
             p, self.K, self.Kinv, self._stack, self._feats, self._fnew,
-            self._curr_pf_slot)
+            self._curr_pf_slot, prev_q, prev_t, do_detect)
         self._feats = feats
         self._curr = curr
         self._last_track_obs = track_obs
@@ -222,13 +250,15 @@ class Flame:
             lag = max(int(p.solver.topology_lag), 1)
             pk = None
             while len(self._packed_queue) >= lag:
-                pk, pk_frame, det_slot, det_fid = self._packed_queue.popleft()
+                (pk, pk_frame, pk_det_slot,
+                 pk_det_fid) = self._packed_queue.popleft()
             if pk is not None:
                 self.stats.tick("fetch_packed")
                 pk_np = pk.get()
                 self.stats.tock("fetch_packed")
-                if not self._consume_packed(pk_np, pk_frame, det_slot,
-                                            det_fid):
+                if not self._consume_packed(pk_np, pk_frame, pk_det_slot,
+                                            pk_det_fid,
+                                            tri_result=pk.get_extra()):
                     self.stats.tock("update")
                     return False
 
@@ -240,38 +270,12 @@ class Flame:
             self.stats.tock("update")
             return False
 
-        # Detection on poseframes (reference detectFeatures via the
-        # detection thread, flame.cc:822-1278), fused into the SAME packed
-        # transfer as the track outputs: the tunneled device corrupts state
-        # when two fetch streams are in flight, and one transfer saves a
-        # ~26 ms round trip.
-        det_dev = None
-        det_slot = None
-        det_fid = None
-        if (is_poseframe and self._fprev is not None
-                and (p.detection.continuous or self.num_data_updates < 1)):
-            self.stats.tick("detection")
-            row_offset = self.height // 3 if p.detection.do_letterbox else 0
-            geo = _load_rel(self.K, self.Kinv,
-                            (self._stack.q[self._curr_pf_slot],
-                             self._stack.t[self._curr_pf_slot]),
-                            (self._fprev.q, self._fprev.t))
-            det_dev = detection.detect_packed(
-                geo, self._stack.gradx[self._curr_pf_slot],
-                self._stack.grady[self._curr_pf_slot],
-                curr.xy, curr.valid, p.detection.min_grad_mag,
-                p.detection.win_size, p.border, row_offset)
-            det_slot = self._curr_pf_slot
-            det_fid = frame_id
-            self.stats.tock("detection")
-
-        packed_dev = pipeline.pack_track_outputs(feats, curr, member,
-                                                 det_dev)
         if p.solver.async_topology:
             # Stage the transfer now — before the post-Delaunay dispatch,
             # so it rides the device queue ahead of it — and consume it
             # topology_lag updates from now.
-            self._packed_queue.append((_AsyncFetch(packed_dev),
+            self._packed_queue.append((_AsyncFetch(
+                packed_dev, post=self._host_triangulate),
                                        self.num_imgs, det_slot, det_fid))
             if self._staged_tris is not None:
                 self.stats.tick("sync_graph")
@@ -311,10 +315,8 @@ class Flame:
                     self._ba.solve(self)
                 self.stats.tock("ba")
 
-        # Stats (reference flame.cc:428-437, 513-539). Coverage lives on
-        # device and is fetched lazily (see coverage()).
-        self._coverage = jnp.mean((~jnp.isnan(self._idepthmap))
-                                  .astype(jnp.float32))
+        # Stats (reference flame.cc:428-437, 513-539). Coverage comes out
+        # of the post-Delaunay dispatch and is fetched lazily (coverage()).
         self.stats.set("num_feats", self._n_valid)
         self.stats.set("num_vtx", getattr(self, "_n_members", 0))
         self.stats.set("num_tris", int(self._n_tris))
@@ -344,8 +346,46 @@ class Flame:
     # Host helpers.
     # ------------------------------------------------------------------
 
+    def _host_triangulate(self, packed: np.ndarray):
+        """Delaunay over the member features of a packed track transfer +
+        edge/rank prep. Pure numpy/ctypes — safe to run inside the fetch
+        worker thread, overlapping the ~6 ms triangulation with device
+        compute (the TPU analogue of the reference's graph thread running
+        concurrently with update(), flame.cc:98-116). Returns None when
+        there are too few members."""
+        p = self.params
+        N = p.feature_capacity
+        pk = packed[:N]
+        member_np = pk[:, 2] > 0
+        member_slots = np.nonzero(member_np)[0]
+        if member_slots.shape[0] < 3:
+            return None
+        tri = delaunay.triangulate(pk[member_slots, :2])
+
+        tris_slots = member_slots[tri.triangles]
+        T_cap = p.triangle_capacity
+        if tris_slots.shape[0] > T_cap:
+            tris_slots = tris_slots[:T_cap]
+        tris_full = np.zeros((T_cap, 3), np.int16)
+        tris_full[: tris_slots.shape[0]] = tris_slots
+
+        E_cap = p.edge_capacity
+        edges_slots = np.sort(member_slots[tri.edges], axis=1)
+        if edges_slots.shape[0] > E_cap:
+            edges_slots = edges_slots[:E_cap]
+        order = np.argsort(edges_slots[:, 0].astype(np.int64)
+                           * p.feature_capacity + edges_slots[:, 1])
+        edges_sorted = edges_slots[order]
+        idt = np.int16 if p.feature_capacity <= 32767 else np.int32
+        edges_full = np.zeros((E_cap, 2), idt)
+        edges_full[: edges_sorted.shape[0]] = edges_sorted
+        ranks = topology.build_edge_ranks(edges_sorted, p.feature_capacity,
+                                          E_cap)
+        return (tris_full, tris_slots, edges_sorted, edges_full, ranks)
+
     def _consume_packed(self, packed: np.ndarray, packed_frame: int = None,
-                        det_slot: int = None, det_fid: int = None) -> bool:
+                        det_slot: int = None, det_fid: int = None,
+                        tri_result=None) -> bool:
         """Digest a packed track transfer: update host mirrors, run the
         too-few-features lifecycle checks, insert any detection winners
         riding the transfer, triangulate the member set, and stage the
@@ -386,37 +426,18 @@ class Flame:
             self.clear()
             return False
 
-        member_slots = np.nonzero(member_np)[0]
-        if member_slots.shape[0] < 3:
+        if tri_result is None:
+            # Synchronous path (bootstrap / async_topology off); the
+            # steady-state async path triangulates inside the fetch thread.
+            self.stats.tick("triangulate")
+            tri_result = self._host_triangulate(packed)
+            self.stats.tock("triangulate")
+        if tri_result is None:
             return False
-        self.stats.tick("triangulate")
-        tri = delaunay.triangulate(curr_xy_np[member_slots])
-        self.stats.tock("triangulate")
+        tris_full, tris_slots, edges_sorted, edges_full, ranks = tri_result
 
-        tris_slots = member_slots[tri.triangles]
-        T_cap = p.triangle_capacity
-        if tris_slots.shape[0] > T_cap:
-            tris_slots = tris_slots[:T_cap]
-        tris_full = np.zeros((T_cap, 3), np.int16)
-        tris_full[: tris_slots.shape[0]] = tris_slots
-
-        # Canonical sorted edge list for the device (saves the device-side
-        # triangle sort/unique; the host has the edges from Delaunay).
-        E_cap = p.edge_capacity
-        edges_slots = np.sort(member_slots[tri.edges], axis=1)
-        if edges_slots.shape[0] > E_cap:
-            edges_slots = edges_slots[:E_cap]
-        order = np.argsort(edges_slots[:, 0].astype(np.int64)
-                           * p.feature_capacity + edges_slots[:, 1])
-        edges_sorted = edges_slots[order]
-        idt = np.int16 if p.feature_capacity <= 32767 else np.int32
-        edges_full = np.zeros((E_cap, 2), idt)
-        edges_full[: edges_sorted.shape[0]] = edges_sorted
-        # Per-edge incidence slot ranks: lets the device build the [V, D]
-        # incidence tables with two scatters instead of a 2E-key argsort.
-        ranks = topology.build_edge_ranks(edges_sorted, p.feature_capacity,
-                                          E_cap)
-
+        # Device uploads stay on the main thread so the device queue keeps
+        # a single dispatcher.
         self._staged_tris = (jnp.asarray(tris_full), tris_slots.shape[0],
                              tris_slots, edges_sorted,
                              jnp.asarray(edges_full),
@@ -429,18 +450,19 @@ class Flame:
         """Dispatch the fused topology+sync+smooth+mesh step."""
         p = self.params
         fprev = self._fprev if self._fprev is not None else self._fnew
-        geo_p2n = _load_rel(self.K, self.Kinv,
-                            (fprev.q, fprev.t), (self._fnew.q, self._fnew.t))
         (self._graph, self._vtx_idepths, self._vtx_normals,
          self._tri_validity, self._idepthmap,
-         self._graph_scale_dev) = pipeline.post_delaunay_step(
-            p, self.K, self.Kinv, self._graph, member, curr, geo_p2n,
+         self._graph_scale_dev, self._coverage) = pipeline.post_delaunay_step(
+            p, self.K, self.Kinv, self._graph, member, curr,
+            (fprev.q, fprev.t), (self._fnew.q, self._fnew.t),
             self._graph_scale_dev, tris_dev,
             jnp.int32(n_tris), self.width, self.height,
             self._idepthmap if p.init_with_prediction else None,
             edges_dev, jnp.int32(n_edges), ranks_dev)
-        self._tris = tris_dev.astype(jnp.int32)
-        self._tri_mask = jnp.arange(tris_dev.shape[0]) < n_tris
+        # Raw staged triangles; int32 conversion + mask are derived lazily
+        # by the output getters (an eager astype/arange per frame costs two
+        # tunnel dispatches).
+        self._tris_staged = (tris_dev, n_tris)
         if p.do_nltgv2:
             self.num_regularizer_updates += p.solver.n_iters_per_frame
 
@@ -598,6 +620,7 @@ class Flame:
             var=jnp.zeros(p.feature_capacity),
             valid=jnp.zeros(p.feature_capacity, bool))
         self._tri_mask = jnp.zeros_like(self._tri_mask)
+        self._tris_staged = None
         self._pending = []
         self._staged_tris = None
         self._packed_queue.clear()
@@ -619,9 +642,19 @@ class Flame:
         """Dense idepthmap over all triangles (reference flame.h:207-210)."""
         return np.asarray(self._idepthmap)
 
+    def _ensure_tris(self):
+        """Materialize the int32 triangle array + mask from the staged raw
+        upload (deferred off the per-frame path; see _run_post_delaunay)."""
+        if self._tris_staged is not None:
+            tris_dev, n_tris = self._tris_staged
+            self._tris = tris_dev.astype(jnp.int32)
+            self._tri_mask = jnp.arange(tris_dev.shape[0]) < n_tris
+            self._tris_staged = None
+
     def get_filtered_inverse_depth_map(self) -> np.ndarray:
         """Dense idepthmap over filter-passing triangles only
         (reference flame.h:217-228)."""
+        self._ensure_tris()
         img = rasterize.rasterize(
             self._graph.pos, self._tris, self._vtx_idepths,
             self._tri_mask & self._tri_validity, self.height, self.width)
@@ -631,6 +664,7 @@ class Flame:
         """Compacted mesh (reference flame.h:233-249): dict with vertices,
         idepths, w1, w2, normals, triangles, tri_validity, edges (all np,
         triangle/edge indices into the compacted vertex list)."""
+        self._ensure_tris()
         member = np.asarray(self._graph.vtx_mask)
         slots = np.nonzero(member)[0]
         remap = np.full(member.shape[0], -1, np.int64)

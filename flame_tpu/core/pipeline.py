@@ -295,6 +295,41 @@ def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
     return feats3, curr, member, stats, obs
 
 
+@functools.partial(jax.jit, static_argnames=("params", "do_detect"))
+def track_step(params: Params, K, Kinv, stack: FrameStack,
+               feats: FeatureState, fnew: Frame, curr_pf_slot,
+               prev_q=None, prev_t=None, do_detect: bool = False):
+    """track_project_sync + (optional) poseframe detection + output packing
+    fused into ONE dispatch. Through a tunneled device every eager op and
+    extra jit call costs host-side RPC latency, so the per-frame hot path
+    dispatches exactly once here (the eager stack.gradx[slot] slices the
+    old detection path did were 2 extra ~1 ms dispatches).
+
+    Returns (feats', curr, member, stats, obs, packed) where packed is the
+    single device->host transfer (pack_track_outputs rows, with detection
+    winners appended when do_detect).
+    """
+    from flame_tpu.core import detection
+
+    feats3, curr, member, stats, obs = track_project_sync.__wrapped__(
+        params, K, Kinv, stack, feats, fnew, curr_pf_slot)
+
+    det_out = None
+    if do_detect:
+        H = fnew.gradx.shape[0]
+        row_offset = H // 3 if params.detection.do_letterbox else 0
+        geo = epipolar.load_relative(
+            K, Kinv, (stack.q[curr_pf_slot], stack.t[curr_pf_slot]),
+            (prev_q, prev_t))
+        det_out = detection.detect_packed(
+            geo, stack.gradx[curr_pf_slot], stack.grady[curr_pf_slot],
+            curr.xy, curr.valid, params.detection.min_grad_mag,
+            params.detection.win_size, params.border, row_offset)
+
+    packed = pack_track_outputs(feats3, curr, member, det_out)
+    return feats3, curr, member, stats, obs, packed
+
+
 def _graph_sync_inner(params: Params, graph: nltgv2.GraphState,
                       prev_in_graph, member, curr: CurrFeatures,
                       geo_prev_to_new: epipolar.EpiGeo, graph_scale,
@@ -375,16 +410,19 @@ def _graph_sync_inner(params: Params, graph: nltgv2.GraphState,
 @functools.partial(jax.jit, static_argnames=("params", "width", "height"))
 def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
                        member, curr: CurrFeatures,
-                       geo_prev_to_new: epipolar.EpiGeo, graph_scale,
+                       pose_prev, pose_new, graph_scale,
                        tris, n_tris, width: int, height: int,
                        prev_idepthmap=None, edges=None, n_edges=None,
                        edge_ranks=None):
     """Everything between host Delaunay and the next frame, fused into ONE
-    dispatch: device-side edge topology + dual carry (from the uploaded
-    triangle array alone), graph synchronization, K smoothing iterations,
-    and mesh outputs. Returns (graph', vtx_idepths, normals, tri_validity,
-    idepthmap)."""
+    dispatch: prev->new epipolar geometry, device-side edge topology + dual
+    carry (from the uploaded triangle array alone), graph synchronization,
+    K smoothing iterations, mesh outputs, and the coverage stat. Returns
+    (graph', vtx_idepths, normals, tri_validity, idepthmap, graph_scale,
+    coverage). pose_prev/pose_new are (q, t) camera-to-world."""
     from flame_tpu.optimize import topology as topo_mod
+
+    geo_prev_to_new = epipolar.load_relative(K, Kinv, pose_prev, pose_new)
 
     V = graph.x.shape[0]
     E = graph.q1.shape[0]
@@ -446,7 +484,9 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
         & jnp.all(member[tris32], axis=1)
     outs = mesh_outputs(params, K, Kinv, width, height, graph,
                         tris32, tri_mask, graph_scale)
-    return (graph,) + outs + (jnp.asarray(graph_scale, jnp.float32),)
+    coverage = jnp.mean((~jnp.isnan(outs[-1])).astype(jnp.float32))
+    return (graph,) + outs + (jnp.asarray(graph_scale, jnp.float32),
+                              coverage)
 
 
 @jax.jit
@@ -480,11 +520,12 @@ def mesh_outputs(params: Params, K, Kinv, width: int, height: int,
     from flame_tpu.ops import rasterize as raster
 
     vtx_idepths = jnp.where(graph.vtx_mask, graph.x * graph_scale, 0.0)
+    geom = mesh_filters.corner_geometry(Kinv, graph.pos, vtx_idepths, tris)
     normals = mesh_filters.vertex_normals(Kinv, graph.pos, vtx_idepths,
-                                          tris, tri_mask)
+                                          tris, tri_mask, geom)
     tri_validity = mesh_filters.apply_filters(
         params.tri_filter, Kinv, width, graph.pos, vtx_idepths, tris,
-        tri_mask)
+        tri_mask, geom)
     idepthmap = raster.rasterize(graph.pos, tris, vtx_idepths, tri_mask,
                                  height, width)
     return vtx_idepths, normals, tri_validity, idepthmap

@@ -129,8 +129,10 @@ def test_failure_stats_present(run_sequence):
 def test_stats_timings(run_sequence):
     fl, _ = run_sequence
     snap = fl.stats.snapshot()
+    # Detection is fused into the update_idepths dispatch (one jit per
+    # frame), so it no longer has its own timer.
     for key in ("update", "update_idepths", "triangulate", "sync_graph",
-                "detection", "frame_creation"):
+                "frame_creation"):
         assert key in snap["timings_ms"], key
 
 

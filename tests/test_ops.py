@@ -224,6 +224,25 @@ def test_rasterize_binned_matches_bruteforce(rng):
     np.testing.assert_allclose(binned, brute, atol=1e-4, equal_nan=True)
 
 
+def test_rasterize_binned_production_params(rng):
+    """The production tile/cell geometry (64x128 tiles, 16x32 cells) must
+    stay exact on a random mesh denser than the detection grid produces."""
+    from scipy.spatial import Delaunay as SDelaunay
+    H, W = 192, 256
+    pts = rng.uniform([4, 4], [W - 4, H - 4], size=(350, 2)).astype(
+        np.float32)
+    dt = SDelaunay(pts)
+    verts = jnp.asarray(pts)
+    tris = jnp.asarray(dt.simplices.astype(np.int32))
+    vals = jnp.asarray(rng.uniform(0.5, 2.0, size=350).astype(np.float32))
+    valid = jnp.ones(tris.shape[0], dtype=bool)
+
+    brute = np.asarray(rasterize.rasterize_bruteforce(
+        verts, tris, vals, valid, H, W))
+    binned = np.asarray(rasterize.rasterize(verts, tris, vals, valid, H, W))
+    np.testing.assert_allclose(binned, brute, atol=1e-4, equal_nan=True)
+
+
 def test_rasterize_winding_invariance():
     verts, tris, vals = _simple_mesh()
     valid = jnp.ones(3, dtype=bool)

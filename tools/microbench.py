@@ -102,19 +102,42 @@ def make_graph(V=4096, E=16384, n_used=2700, seed=0):
     return g, e, n_e, tris, n_used
 
 
+def _with_incidence(g, degree=16):
+    """Attach host-built incidence tables + src_slot to a make_graph graph."""
+    from flame_tpu.optimize import nltgv2
+    V = g.x.shape[0]
+    E = g.q1.shape[0]
+    edges_np = np.asarray(g.edges)
+    emask_np = np.asarray(g.edge_mask)
+    inc_e, inc_s = nltgv2.build_incidence(edges_np, emask_np, V, degree)
+    src = nltgv2.build_src_slot(inc_e, inc_s, E)
+    return g._replace(inc_edge=jnp.asarray(inc_e),
+                      inc_sign=jnp.asarray(inc_s),
+                      src_slot=jnp.asarray(src))
+
+
 def bench_smooth(g, n_iters=40):
     from flame_tpu.params import RegularizerParams
     from flame_tpu.optimize import nltgv2
     p = RegularizerParams()
+    gi = _with_incidence(g)
 
-    variants = {"stacked": dict(stacked=True)}
-    for name, kw in variants.items():
-        def run(kw=kw):
-            out = nltgv2.smooth(p, g, n_iters, **kw)
+    variants = {"stacked": (g, dict(stacked=True)),
+                "vertex": (gi, dict(mode="vertex"))}
+    for name, (gg, kw) in variants.items():
+        def run(gg=gg, kw=kw):
+            out = nltgv2.smooth(p, gg, n_iters, **kw)
             np.asarray(out.x[0])
         dt = timeit(run, inner=n_iters)
         print(f"smooth/{name:24s} {dt*1e3:8.3f} ms/iter "
               f"({dt*n_iters*1e3:7.2f} ms @ {n_iters})")
+    # Fixed cost: vertex mode at 1 vs 81 iters gives slope+intercept.
+    for k in (1, 81):
+        def run(k=k):
+            out = nltgv2.smooth(p, gi, k, mode="vertex")
+            np.asarray(out.x[0])
+        dt = timeit(run)
+        print(f"smooth/vertex@{k:<3d}            {dt*1e3:8.3f} ms total")
 
 
 def bench_mesh(g, tris_np, n_used):
@@ -178,6 +201,15 @@ def bench_topo(g, edges_np, n_e):
         np.asarray(fe().alpha[0])
     print(f"topo/from_edges            {timeit(run)*1e3:8.2f} ms")
 
+    ranks = topology.build_edge_ranks(edges_np, V, E)
+    ranks_d = jnp.asarray(ranks)
+    fi = jax.jit(lambda: topology.from_edges(
+        edges_d, jnp.int32(n_e), g.pos, g.edges, g.edge_mask,
+        g.q1, g.q2, g.q3, E, V, 16, build_incidence=True, ranks=ranks_d))
+    def run_i():
+        np.asarray(fi().alpha[0])
+    print(f"topo/from_edges+inc        {timeit(run_i)*1e3:8.2f} ms")
+
 
 def bench_track():
     import __graft_entry__ as ge
@@ -223,18 +255,27 @@ def bench_post(g, tris_np, edges_np, n_e, n_used):
     member = g.vtx_mask
     curr = pipeline.CurrFeatures(
         xy=g.pos, idepth=g.data_term, var=jnp.full((V,), 1e-3), valid=member)
-    geo = epipolar.load_relative(
-        K, Kinv, (se3.quat_identity(), jnp.zeros(3)),
-        (se3.quat_identity(), jnp.array([0.08, 0.0, 0.0])))
+    pose_prev = (se3.quat_identity(), jnp.zeros(3))
+    pose_new = (se3.quat_identity(), jnp.array([0.08, 0.0, 0.0]))
 
-    def run():
-        outs = pipeline.post_delaunay_step(
-            params, K, Kinv, g, member, curr, geo, jnp.float32(1.0),
-            tris_d, jnp.int32(tris_np.shape[0]), W, H, None,
-            edges_d, jnp.int32(n_e))
-        np.asarray(outs[-2][0, 0])
-    print(f"post/post_delaunay_step    {timeit(run)*1e3:8.2f} ms "
-          f"(incl. {params.solver.n_iters_per_frame} smooth iters)")
+    from flame_tpu.optimize import topology
+    ranks_d = jnp.asarray(topology.build_edge_ranks(edges_np, V, E))
+
+    import dataclasses
+    for n_it in (0, params.solver.n_iters_per_frame):
+        pit = dataclasses.replace(
+            params, solver=dataclasses.replace(
+                params.solver, n_iters_per_frame=n_it))
+
+        def run(pit=pit):
+            outs = pipeline.post_delaunay_step(
+                pit, K, Kinv, g, member, curr, pose_prev, pose_new,
+                jnp.float32(1.0),
+                tris_d, jnp.int32(tris_np.shape[0]), W, H, None,
+                edges_d, jnp.int32(n_e), ranks_d)
+            np.asarray(outs[4][0, 0])
+        print(f"post/post_delaunay_step    {timeit(run)*1e3:8.2f} ms "
+              f"(incl. {n_it} smooth iters)")
 
 
 def main():
