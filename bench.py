@@ -54,8 +54,11 @@ def main():
         # uint8 like a real camera: 4x less host->device upload traffic.
         return np.clip(tex(X, Y), 0, 255).astype(np.uint8)
 
+    # Capacities sized to Delaunay maxima for 4096 features (T <= 2V,
+    # E <= 3V): the per-frame topology upload scales with them and the
+    # tunnel link is the bottleneck.
     params = Params(
-        feature_capacity=4096, edge_capacity=16384, triangle_capacity=12288,
+        feature_capacity=4096, edge_capacity=12288, triangle_capacity=8192,
         poseframe_capacity=16,
         min_height=-1e6, max_height=1e6,
         idepth_init=0.05,
@@ -75,12 +78,23 @@ def main():
     def pose(i):
         return (se3.quat_identity(), jnp.array([0.08 * i, 0.0, 0.0]))
 
+    # Double-buffered input: frame i+1 uploads while frame i is processed
+    # (a live camera pipeline does exactly this; the reference's update()
+    # likewise receives an image already in memory, flame.h:145-147).
+    # Through the tunneled device the 307 KB VGA upload otherwise sits on
+    # the critical path.
+    img_dev = jnp.asarray(frames[0])
     for i in range(n_warm):
-        fl.update(i * 0.1, i, pose(i), frames[i], i % 2 == 0)
+        nxt = jnp.asarray(frames[i + 1])
+        fl.update(i * 0.1, i, pose(i), img_dev, i % 2 == 0)
+        img_dev = nxt
 
     t0 = time.perf_counter()
     for i in range(n_warm, n_warm + n_meas):
-        fl.update(i * 0.1, i, pose(i), frames[i], i % 2 == 0)
+        if i + 1 < n_warm + n_meas:
+            nxt = jnp.asarray(frames[i + 1])
+        fl.update(i * 0.1, i, pose(i), img_dev, i % 2 == 0)
+        img_dev = nxt
     jax.block_until_ready(fl._idepthmap)
     dt = time.perf_counter() - t0
 
@@ -117,6 +131,8 @@ def main():
             "device": str(jax.devices()[0]),
             "timings_ms": {k: round(v, 2) for k, v in
                            fl.stats.snapshot()["timings_ms"].items()},
+            "stats": {k: round(v, 3) for k, v in
+                      fl.stats.snapshot()["stats"].items()},
         }
         print(json.dumps(extra), file=sys.stderr)
 

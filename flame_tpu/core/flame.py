@@ -25,6 +25,7 @@ timing (flame.cc:708-773 vs :250-260).
 import collections
 import math
 import threading
+import time
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -58,7 +59,8 @@ class _AsyncFetch:
     is consumed a full frame after the transfer completes.
     """
 
-    __slots__ = ("_dev", "_np", "_thread", "_post", "_extra")
+    __slots__ = ("_dev", "_np", "_thread", "_post", "_extra",
+                 "t_start", "t_done")
 
     def __init__(self, dev_arr, post=None):
         """post: optional host-side callable run on the fetched array INSIDE
@@ -72,6 +74,8 @@ class _AsyncFetch:
         self._np = None
         self._post = post
         self._extra = None
+        self.t_start = time.perf_counter()
+        self.t_done = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -79,6 +83,7 @@ class _AsyncFetch:
         self._np = np.asarray(self._dev)
         if self._post is not None:
             self._extra = self._post(self._np)
+        self.t_done = time.perf_counter()
 
     def ready(self) -> bool:
         return not self._thread.is_alive()
@@ -144,6 +149,7 @@ class Flame:
         self._pending: list = []  # staged detections: (xy np, pf_slot)
         # (tris_dev, n_tris, tris_np, edges_np) staged for async topology.
         self._staged_tris = None
+        self._staged_frame = None  # num_imgs of the staged topology's snapshot
         # In-flight packed track transfers (oldest first, stamped with
         # num_imgs), consumed with solver.topology_lag frames of delay.
         self._packed_queue = collections.deque()
@@ -248,19 +254,61 @@ class Flame:
         # delivers a frame late, flame.cc:737-757).
         if p.solver.async_topology:
             lag = max(int(p.solver.topology_lag), 1)
-            pk = None
-            while len(self._packed_queue) >= lag:
-                (pk, pk_frame, pk_det_slot,
-                 pk_det_fid) = self._packed_queue.popleft()
-            if pk is not None:
-                self.stats.tick("fetch_packed")
-                pk_np = pk.get()
-                self.stats.tock("fetch_packed")
-                if not self._consume_packed(pk_np, pk_frame, pk_det_slot,
-                                            pk_det_fid,
-                                            tri_result=pk.get_extra()):
-                    self.stats.tock("update")
-                    return False
+            if p.solver.opportunistic_fetch:
+                # Consume every transfer that has already landed; block
+                # only when the pipe is full (bounded in-flight depth) or
+                # the staged topology has gone too stale. The post dispatch
+                # below then never waits on a device->host round trip.
+                must_block = (
+                    len(self._packed_queue) >= lag
+                    or (self._staged_frame is not None
+                        and self.num_imgs - self._staged_frame
+                        > p.solver.max_topology_staleness
+                        and self._packed_queue))
+                joined_any = False
+                while self._packed_queue and (
+                        self._packed_queue[0][0].ready()
+                        or (must_block and not joined_any)):
+                    (pk, pk_frame, pk_det_slot,
+                     pk_det_fid) = self._packed_queue.popleft()
+                    self.stats.tick("fetch_packed")
+                    self.stats.ema("fetch_ready_frac",
+                                   1.0 if pk.ready() else 0.0, alpha=0.2)
+                    pk_np = pk.get()
+                    joined_any = True
+                    self.stats.tock("fetch_packed")
+                    if pk.t_done is not None:
+                        self.stats.ema(
+                            "fetch_latency_ms",
+                            1e3 * (pk.t_done - pk.t_start), alpha=0.2)
+                    if not self._consume_packed(pk_np, pk_frame, pk_det_slot,
+                                                pk_det_fid,
+                                                tri_result=pk.get_extra()):
+                        self.stats.tock("update")
+                        return False
+            else:
+                pk = None
+                while len(self._packed_queue) >= lag:
+                    (pk, pk_frame, pk_det_slot,
+                     pk_det_fid) = self._packed_queue.popleft()
+                if pk is not None:
+                    self.stats.tick("fetch_packed")
+                    # Diagnostic: fraction of joins where the worker (fetch
+                    # + Delaunay) had already finished — if low, the join
+                    # blocks on tunnel latency, not on device compute.
+                    self.stats.ema("fetch_ready_frac",
+                                   1.0 if pk.ready() else 0.0, alpha=0.2)
+                    pk_np = pk.get()
+                    self.stats.tock("fetch_packed")
+                    if pk.t_done is not None:
+                        self.stats.ema(
+                            "fetch_latency_ms",
+                            1e3 * (pk.t_done - pk.t_start), alpha=0.2)
+                    if not self._consume_packed(pk_np, pk_frame, pk_det_slot,
+                                                pk_det_fid,
+                                                tri_result=pk.get_extra()):
+                        self.stats.tock("update")
+                        return False
 
         # Drain bootstrap detections (reference new_feats_ drain :250-260;
         # steady-state detections ride the packed transfer instead).
@@ -279,14 +327,13 @@ class Flame:
                                        self.num_imgs, det_slot, det_fid))
             if self._staged_tris is not None:
                 self.stats.tick("sync_graph")
-                (tris_dev, n_tris, tris_np, edges_np, edges_dev,
-                 n_edges, ranks_dev) = self._staged_tris
+                (buf_dev, n_tris, tris_np, edges_np,
+                 n_edges) = self._staged_tris
                 self._tris_np = tris_np
                 self._edges_np = edges_np
                 self._n_edges = n_edges
                 self._n_tris = n_tris
-                self._run_post_delaunay(member, curr, tris_dev, n_tris,
-                                        edges_dev, n_edges, ranks_dev)
+                self._run_post_delaunay(member, curr, buf_dev, n_tris)
                 self.stats.tock("sync_graph")
         else:
             # Synchronous: fetch, triangulate, and run in-frame.
@@ -294,15 +341,14 @@ class Flame:
                                         self.num_imgs, det_slot, det_fid):
                 self.stats.tock("update")
                 return False
-            (tris_dev, n_tris, tris_np, edges_np, edges_dev,
-             n_edges, ranks_dev) = self._staged_tris
+            (buf_dev, n_tris, tris_np, edges_np,
+             n_edges) = self._staged_tris
             self.stats.tick("sync_graph")
             self._tris_np = tris_np
             self._edges_np = edges_np
             self._n_edges = n_edges
             self._n_tris = n_tris
-            self._run_post_delaunay(member, curr, tris_dev, n_tris,
-                                    edges_dev, n_edges, ranks_dev)
+            self._run_post_delaunay(member, curr, buf_dev, n_tris)
             self.stats.tock("sync_graph")
 
         if is_poseframe:
@@ -356,32 +402,54 @@ class Flame:
         p = self.params
         N = p.feature_capacity
         pk = packed[:N]
-        member_np = pk[:, 2] > 0
+        member_np = (pk[:, 2] & pipeline.PACK_MEMBER) > 0
         member_slots = np.nonzero(member_np)[0]
         if member_slots.shape[0] < 3:
             return None
-        tri = delaunay.triangulate(pk[member_slots, :2])
+        xy = pk[member_slots, :2].astype(np.float32) \
+            * (1.0 / pipeline.PACK_XY_SCALE)
+        tri = delaunay.triangulate(xy)
 
         tris_slots = member_slots[tri.triangles]
         T_cap = p.triangle_capacity
         if tris_slots.shape[0] > T_cap:
             tris_slots = tris_slots[:T_cap]
-        tris_full = np.zeros((T_cap, 3), np.int16)
-        tris_full[: tris_slots.shape[0]] = tris_slots
+        n_tris = tris_slots.shape[0]
 
+        # Unique undirected edges, canonical (lo, hi), sorted by code —
+        # derived from the (possibly truncated) uploaded triangle set so
+        # that every edge has a directed occurrence to point at.
+        V = p.feature_capacity
+        a = tris_slots.reshape(-1).astype(np.int64)  # corners 0,1,2 flat
+        b = tris_slots[:, [1, 2, 0]].reshape(-1).astype(np.int64)
+        dcode = np.minimum(a, b) * V + np.maximum(a, b)
+        dorder = np.argsort(dcode, kind="stable")
+        dsorted = dcode[dorder]
+        first = np.ones(dsorted.shape[0], bool)
+        first[1:] = dsorted[1:] != dsorted[:-1]
         E_cap = p.edge_capacity
-        edges_slots = np.sort(member_slots[tri.edges], axis=1)
-        if edges_slots.shape[0] > E_cap:
-            edges_slots = edges_slots[:E_cap]
-        order = np.argsort(edges_slots[:, 0].astype(np.int64)
-                           * p.feature_capacity + edges_slots[:, 1])
-        edges_sorted = edges_slots[order]
-        idt = np.int16 if p.feature_capacity <= 32767 else np.int32
-        edges_full = np.zeros((E_cap, 2), idt)
-        edges_full[: edges_sorted.shape[0]] = edges_sorted
-        ranks = topology.build_edge_ranks(edges_sorted, p.feature_capacity,
-                                          E_cap)
-        return (tris_full, tris_slots, edges_sorted, edges_full, ranks)
+        edge_src = dorder[first]  # index into the directed-edge list
+        if edge_src.shape[0] > E_cap:
+            edge_src = edge_src[:E_cap]
+        ucodes = dsorted[first][: edge_src.shape[0]]
+        edges_sorted = np.stack([ucodes // V, ucodes % V], axis=1)
+        n_edges = edges_sorted.shape[0]
+        ranks = topology.build_edge_ranks(edges_sorted, V, E_cap)
+
+        # ONE u16 upload: [n_tris, n_edges | tris flat | edge_src | ranks
+        # (src_rank | dst_slot_rank << 8)]. The tunnel link is the
+        # pipeline's scarcest resource (~20-40 MB/s under load); this is
+        # ~40% smaller than separate tris/edges/ranks uploads and one RPC
+        # instead of three.
+        buf = np.zeros(2 + 3 * T_cap + 2 * E_cap, np.uint16)
+        buf[0] = n_tris
+        buf[1] = n_edges
+        buf[2: 2 + 3 * n_tris] = tris_slots.reshape(-1)
+        buf[2 + 3 * T_cap: 2 + 3 * T_cap + n_edges] = edge_src
+        rk = (np.minimum(ranks[:, 0], 255).astype(np.uint16)
+              | (np.minimum(ranks[:, 1], 255).astype(np.uint16) << 8))
+        buf[2 + 3 * T_cap + E_cap:] = rk
+        return (buf, n_tris, tris_slots, edges_sorted, n_edges)
 
     def _consume_packed(self, packed: np.ndarray, packed_frame: int = None,
                         det_slot: int = None, det_fid: int = None,
@@ -401,9 +469,9 @@ class Flame:
         N = p.feature_capacity
         det_rows = packed[N:]
         packed = packed[:N]
-        curr_xy_np = packed[:, :2]
-        member_np = packed[:, 2] > 0
-        self._feat_valid_np = packed[:, 4] > 0
+        flags = packed[:, 2]
+        member_np = (flags & pipeline.PACK_MEMBER) > 0
+        self._feat_valid_np = (flags & pipeline.PACK_FEAT_VALID) > 0
         if packed_frame is not None:
             while self._recent_adds and self._recent_adds[0][0] < packed_frame:
                 self._recent_adds.popleft()
@@ -419,7 +487,7 @@ class Flame:
             if self._pf_slot_by_id.get(det_fid) == det_slot:
                 self._add_detected(det_rows, det_slot)
 
-        n_valid = int((packed[:, 3] > 0).sum())
+        n_valid = int(((flags & pipeline.PACK_CURR_VALID) > 0).sum())
         if n_valid < 3:
             if not p.debug_quiet:
                 print(f"flame_tpu: too few features ({n_valid}); clearing")
@@ -434,20 +502,19 @@ class Flame:
             self.stats.tock("triangulate")
         if tri_result is None:
             return False
-        tris_full, tris_slots, edges_sorted, edges_full, ranks = tri_result
+        buf, n_tris, tris_slots, edges_sorted, n_edges = tri_result
 
-        # Device uploads stay on the main thread so the device queue keeps
-        # a single dispatcher.
-        self._staged_tris = (jnp.asarray(tris_full), tris_slots.shape[0],
-                             tris_slots, edges_sorted,
-                             jnp.asarray(edges_full),
-                             edges_sorted.shape[0],
-                             jnp.asarray(ranks))
+        # The device upload stays on the main thread so the device queue
+        # keeps a single dispatcher.
+        self._staged_tris = (jnp.asarray(buf), n_tris, tris_slots,
+                             edges_sorted, n_edges)
+        self._staged_frame = packed_frame if packed_frame is not None \
+            else self.num_imgs
         return True
 
-    def _run_post_delaunay(self, member, curr, tris_dev, n_tris: int,
-                           edges_dev=None, n_edges: int = 0, ranks_dev=None):
-        """Dispatch the fused topology+sync+smooth+mesh step."""
+    def _run_post_delaunay(self, member, curr, topo_buf, n_tris: int):
+        """Dispatch the fused topology+sync+smooth+mesh step. topo_buf is
+        the single packed u16 topology upload (see _host_triangulate)."""
         p = self.params
         fprev = self._fprev if self._fprev is not None else self._fnew
         (self._graph, self._vtx_idepths, self._vtx_normals,
@@ -455,14 +522,12 @@ class Flame:
          self._graph_scale_dev, self._coverage) = pipeline.post_delaunay_step(
             p, self.K, self.Kinv, self._graph, member, curr,
             (fprev.q, fprev.t), (self._fnew.q, self._fnew.t),
-            self._graph_scale_dev, tris_dev,
-            jnp.int32(n_tris), self.width, self.height,
+            self._graph_scale_dev, self.width, self.height,
             self._idepthmap if p.init_with_prediction else None,
-            edges_dev, jnp.int32(n_edges), ranks_dev)
-        # Raw staged triangles; int32 conversion + mask are derived lazily
-        # by the output getters (an eager astype/arange per frame costs two
-        # tunnel dispatches).
-        self._tris_staged = (tris_dev, n_tris)
+            topo_buf=topo_buf)
+        # Triangle array + mask are derived lazily by the output getters
+        # from the host copy (off the per-frame path).
+        self._tris_staged = (self._tris_np, n_tris)
         if p.do_nltgv2:
             self.num_regularizer_updates += p.solver.n_iters_per_frame
 
@@ -509,10 +574,11 @@ class Flame:
         free = np.nonzero(~self._feat_valid_np)[0]
         if free.shape[0] == 0:
             return
-        take = det_out[:, 2] > 0
+        take = (det_out[:, 2] & pipeline.PACK_TAKE) > 0
         if not take.any():
             return
-        xy = det_out[take, :2].astype(np.float32)
+        xy = det_out[take, :2].astype(np.float32) \
+            * (1.0 / pipeline.PACK_XY_SCALE)
         n = min(xy.shape[0], free.shape[0], self._add_cap)
         slots = np.zeros(self._add_cap, np.int32)
         slots[:n] = free[:n]
@@ -538,7 +604,14 @@ class Flame:
         if not self._pending:
             return
         for out, pf_slot in self._pending:
-            self._add_detected(out.get(), pf_slot)
+            rows = out.get()  # (C, 3) f32 [x, y, take] from detect_packed
+            enc = np.zeros((rows.shape[0], 3), np.uint16)
+            enc[:, 0] = np.clip(rows[:, 0] * pipeline.PACK_XY_SCALE + 0.5,
+                                0, 65535)
+            enc[:, 1] = np.clip(rows[:, 1] * pipeline.PACK_XY_SCALE + 0.5,
+                                0, 65535)
+            enc[:, 2] = (rows[:, 2] > 0) * pipeline.PACK_TAKE
+            self._add_detected(enc, pf_slot)
         self._pending = []
 
     # ------------------------------------------------------------------
@@ -623,6 +696,7 @@ class Flame:
         self._tris_staged = None
         self._pending = []
         self._staged_tris = None
+        self._staged_frame = None
         self._packed_queue.clear()
         self._recent_adds.clear()
         self._feat_valid_np = np.zeros(p.feature_capacity, bool)
@@ -643,12 +717,17 @@ class Flame:
         return np.asarray(self._idepthmap)
 
     def _ensure_tris(self):
-        """Materialize the int32 triangle array + mask from the staged raw
-        upload (deferred off the per-frame path; see _run_post_delaunay)."""
+        """Materialize the device triangle array + mask from the host copy
+        (deferred off the per-frame path; see _run_post_delaunay)."""
         if self._tris_staged is not None:
-            tris_dev, n_tris = self._tris_staged
-            self._tris = tris_dev.astype(jnp.int32)
-            self._tri_mask = jnp.arange(tris_dev.shape[0]) < n_tris
+            tris_np, n_tris = self._tris_staged
+            T = self.params.triangle_capacity
+            full = np.zeros((T, 3), np.int32)
+            full[:n_tris] = tris_np[:n_tris]
+            mask = np.zeros((T,), bool)
+            mask[:n_tris] = True
+            self._tris = jnp.asarray(full)
+            self._tri_mask = jnp.asarray(mask)
             self._tris_staged = None
 
     def get_filtered_inverse_depth_map(self) -> np.ndarray:

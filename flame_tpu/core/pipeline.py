@@ -411,15 +411,21 @@ def _graph_sync_inner(params: Params, graph: nltgv2.GraphState,
 def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
                        member, curr: CurrFeatures,
                        pose_prev, pose_new, graph_scale,
-                       tris, n_tris, width: int, height: int,
-                       prev_idepthmap=None, edges=None, n_edges=None,
+                       width: int, height: int,
+                       prev_idepthmap=None, topo_buf=None,
+                       tris=None, n_tris=None, edges=None, n_edges=None,
                        edge_ranks=None):
     """Everything between host Delaunay and the next frame, fused into ONE
     dispatch: prev->new epipolar geometry, device-side edge topology + dual
     carry (from the uploaded triangle array alone), graph synchronization,
     K smoothing iterations, mesh outputs, and the coverage stat. Returns
     (graph', vtx_idepths, normals, tri_validity, idepthmap, graph_scale,
-    coverage). pose_prev/pose_new are (q, t) camera-to-world."""
+    coverage). pose_prev/pose_new are (q, t) camera-to-world.
+
+    Topology comes either as topo_buf — the production path's single
+    packed u16 upload [n_tris, n_edges | tris flat (T, 3) | edge_src into
+    the 3T directed edges | ranks lo|hi<<8] (the tunnel uplink is the
+    scarcest resource) — or as separate tris/edges/ranks arrays."""
     from flame_tpu.optimize import topology as topo_mod
 
     geo_prev_to_new = epipolar.load_relative(K, Kinv, pose_prev, pose_new)
@@ -427,6 +433,21 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
     V = graph.x.shape[0]
     E = graph.q1.shape[0]
     D = graph.inc_edge.shape[1]
+
+    if topo_buf is not None:
+        T = params.triangle_capacity
+        assert E == params.edge_capacity
+        n_tris = topo_buf[0].astype(jnp.int32)
+        n_edges = topo_buf[1].astype(jnp.int32)
+        tris = topo_buf[2: 2 + 3 * T].reshape(T, 3).astype(jnp.int32)
+        edge_src = topo_buf[2 + 3 * T: 2 + 3 * T + E].astype(jnp.int32)
+        rk = topo_buf[2 + 3 * T + E:].astype(jnp.int32)
+        edge_ranks = jnp.stack([rk & 0xFF, rk >> 8], axis=1)
+        # Directed corner edges -> the host-selected unique occurrence.
+        a = tris.reshape(-1)
+        b = tris[:, jnp.array([1, 2, 0])].reshape(-1)
+        dlh = jnp.stack([jnp.minimum(a, b), jnp.maximum(a, b)], axis=1)
+        edges = dlh[edge_src]  # (E, 2) canonical (lo, hi), code-sorted
 
     # The production smoother is the vertex-centric one-gather formulation,
     # which needs the [V, D] incidence tables + src_slot. When the host
@@ -489,24 +510,37 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
                               coverage)
 
 
+# Fixed-point scale for packed pixel coordinates: 1/32 px resolution, max
+# coordinate 2047 px — plenty for the Delaunay/occupancy decisions the host
+# makes from them (detection winners are integer pixels, exact at /32).
+PACK_XY_SCALE = 32.0
+# Flag bits in the packed third channel.
+PACK_MEMBER = 1
+PACK_CURR_VALID = 2
+PACK_FEAT_VALID = 4
+PACK_TAKE = 8
+
+
 @jax.jit
 def pack_track_outputs(feats: FeatureState, curr: CurrFeatures, member,
                        det_out=None):
-    """Pack everything the host needs after tracking into one small array
-    (ONE device->host transfer per frame): rows [0, N) are per-feature
-    [x, y, member, curr_valid, feat_valid]; when det_out (C, 3) from
+    """Pack everything the host needs after tracking into one SMALL uint16
+    array (ONE device->host transfer per frame; the tunneled downlink
+    measured ~12 MB/s under load, so bytes matter): rows [0, N) are
+    per-feature [x*32, y*32, flags]; when det_out (C, 3) from
     detection.detect_packed is given, rows [N, N+C) carry the detection
-    winners [x, y, take, 0, 0]. Merging detection into the same transfer
-    keeps the tunnel to a single in-flight fetch stream."""
-    rows = jnp.concatenate([
-        curr.xy,
-        member[:, None].astype(jnp.float32),
-        curr.valid[:, None].astype(jnp.float32),
-        feats.valid[:, None].astype(jnp.float32),
-    ], axis=1)
+    winners [x*32, y*32, take<<3]."""
+    def fx(v):
+        return jnp.clip(v * PACK_XY_SCALE + 0.5, 0, 65535).astype(jnp.uint16)
+
+    flags = (member.astype(jnp.uint16) * PACK_MEMBER
+             | curr.valid.astype(jnp.uint16) * PACK_CURR_VALID
+             | feats.valid.astype(jnp.uint16) * PACK_FEAT_VALID)
+    rows = jnp.stack([fx(curr.xy[:, 0]), fx(curr.xy[:, 1]), flags], axis=1)
     if det_out is not None:
-        det_rows = jnp.concatenate(
-            [det_out, jnp.zeros((det_out.shape[0], 2), jnp.float32)], axis=1)
+        dflags = (det_out[:, 2] > 0).astype(jnp.uint16) * PACK_TAKE
+        det_rows = jnp.stack(
+            [fx(det_out[:, 0]), fx(det_out[:, 1]), dflags], axis=1)
         rows = jnp.concatenate([rows, det_rows], axis=0)
     return rows
 

@@ -270,9 +270,9 @@ def bench_post(g, tris_np, edges_np, n_e, n_used):
         def run(pit=pit):
             outs = pipeline.post_delaunay_step(
                 pit, K, Kinv, g, member, curr, pose_prev, pose_new,
-                jnp.float32(1.0),
-                tris_d, jnp.int32(tris_np.shape[0]), W, H, None,
-                edges_d, jnp.int32(n_e), ranks_d)
+                jnp.float32(1.0), W, H, None,
+                tris=tris_d, n_tris=jnp.int32(tris_np.shape[0]),
+                edges=edges_d, n_edges=jnp.int32(n_e), edge_ranks=ranks_d)
             np.asarray(outs[4][0, 0])
         print(f"post/post_delaunay_step    {timeit(run)*1e3:8.2f} ms "
               f"(incl. {n_it} smooth iters)")
