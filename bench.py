@@ -62,9 +62,14 @@ def main():
         poseframe_capacity=16,
         min_height=-1e6, max_height=1e6,
         idepth_init=0.05,
+        min_baseline=float(os.environ.get('BENCH_MINB', 0.01)),
         detection=DetectionParams(win_size=16),
-        solver=SolverParams(max_vertex_degree=16,
-                     async_topology=True),
+        solver=SolverParams(
+            max_vertex_degree=16,
+            async_topology=True,
+            # Experiment knobs (default production values).
+            topology_lag=int(os.environ.get("BENCH_LAG", 2)),
+            n_iters_per_frame=int(os.environ.get("BENCH_ITERS", 40))),
         debug_quiet=True)
 
     K = camera.make_k(FX, FX, W / 2, H / 2)
@@ -95,7 +100,10 @@ def main():
             nxt = jnp.asarray(frames[i + 1])
         fl.update(i * 0.1, i, pose(i), img_dev, i % 2 == 0)
         img_dev = nxt
-    jax.block_until_ready(fl._idepthmap)
+    # Real fetch: on the tunneled device block_until_ready returns at
+    # RPC-accept, NOT completion — only a device->host read drains the
+    # pipeline (NOTES.md timing trap).
+    np.asarray(fl._idepthmap)
     dt = time.perf_counter() - t0
 
     fps = n_meas / dt

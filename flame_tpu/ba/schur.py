@@ -47,7 +47,7 @@ def _assemble(K, Kinv, q, t, lm_idepth, obs, huber_delta, n_poses: int,
 
     # Pose-pose blocks: contributions for (a,a), (a,o), (o,a), (o,o).
     def pp(Ji, Jj):
-        return jnp.einsum("mki,mkj->mij", Ji * w[:, None, None], Jj)
+        return jnp.einsum("mki,mkj->mij", Ji * w[:, None, None], Jj, precision=jax.lax.Precision.HIGHEST)
 
     idx_aa = obs.anchor_idx * P + obs.anchor_idx
     idx_ao = obs.anchor_idx * P + obs.obs_idx
@@ -60,8 +60,8 @@ def _assemble(K, Kinv, q, t, lm_idepth, obs, huber_delta, n_poses: int,
 
     # Pose gradient.
     segp = functools.partial(jax.ops.segment_sum, num_segments=P)
-    bp = segp(jnp.einsum("mki,mk->mi", Ja, wr), obs.anchor_idx) + \
-        segp(jnp.einsum("mki,mk->mi", Jo, wr), obs.obs_idx)  # (P, 6)
+    bp = segp(jnp.einsum("mki,mk->mi", Ja, wr, precision=jax.lax.Precision.HIGHEST), obs.anchor_idx) + \
+        segp(jnp.einsum("mki,mk->mi", Jo, wr, precision=jax.lax.Precision.HIGHEST), obs.obs_idx)  # (P, 6)
 
     # Landmark diagonal + gradient.
     segl = functools.partial(jax.ops.segment_sum, num_segments=L)
@@ -72,8 +72,8 @@ def _assemble(K, Kinv, q, t, lm_idepth, obs, huber_delta, n_poses: int,
     idx_al = obs.anchor_idx * L + obs.lm_idx
     idx_ol = obs.obs_idx * L + obs.lm_idx
     segpl = functools.partial(jax.ops.segment_sum, num_segments=P * L)
-    JaTJd = jnp.einsum("mki,mk->mi", Ja * w[:, None, None], Jd)  # (M, 6)
-    JoTJd = jnp.einsum("mki,mk->mi", Jo * w[:, None, None], Jd)
+    JaTJd = jnp.einsum("mki,mk->mi", Ja * w[:, None, None], Jd, precision=jax.lax.Precision.HIGHEST)  # (M, 6)
+    JoTJd = jnp.einsum("mki,mk->mi", Jo * w[:, None, None], Jd, precision=jax.lax.Precision.HIGHEST)
     W = (segpl(JaTJd, idx_al) + segpl(JoTJd, idx_ol)).reshape(P, L, 6)
 
     cost = 0.5 * jnp.sum(w * jnp.sum(r * r, axis=1))
@@ -89,8 +89,8 @@ def _solve_reduced(Hpp, bp, Hll, bl, W, damping, n_fixed, lm_valid):
     inv_Hll = jnp.where((Hll > 1e-12) & lm_valid, 1.0 / Hll_safe, 0.0)
 
     # S = Hpp - sum_l W[:, l] inv_Hll[l] W[:, l]^T
-    S = Hpp - jnp.einsum("pli,l,qlj->pqij", W, inv_Hll, W)
-    rhs = bp - jnp.einsum("pli,l,l->pi", W, inv_Hll, bl)
+    S = Hpp - jnp.einsum("pli,l,qlj->pqij", W, inv_Hll, W, precision=jax.lax.Precision.HIGHEST)
+    rhs = bp - jnp.einsum("pli,l,l->pi", W, inv_Hll, bl, precision=jax.lax.Precision.HIGHEST)
 
     Sm = S.transpose(0, 2, 1, 3).reshape(6 * P, 6 * P)
     rv = rhs.reshape(6 * P)
@@ -104,7 +104,7 @@ def _solve_reduced(Hpp, bp, Hll, bl, W, damping, n_fixed, lm_valid):
     dx_p = -jnp.linalg.solve(Sm, rv).reshape(P, 6)
 
     # Back-substitute landmarks: dx_l = -inv_Hll (bl + W^T dx_p).
-    Wdx = jnp.einsum("pli,pi->l", W, dx_p)
+    Wdx = jnp.einsum("pli,pi->l", W, dx_p, precision=jax.lax.Precision.HIGHEST)
     dx_l = -inv_Hll * (bl + Wdx)
     return dx_p, dx_l
 

@@ -146,17 +146,16 @@ class Flame:
         self._curr_pf_slot: Optional[int] = None
         self._fnew = None
         self._fprev = None
-        self._pending: list = []  # staged detections: (xy np, pf_slot)
-        # (tris_dev, n_tris, tris_np, edges_np) staged for async topology.
+        # (buf_dev, n_tris, tris_np, edges_np, n_edges) staged for async
+        # topology.
         self._staged_tris = None
         self._staged_frame = None  # num_imgs of the staged topology's snapshot
         # In-flight packed track transfers (oldest first, stamped with
-        # num_imgs), consumed with solver.topology_lag frames of delay.
+        # num_imgs). The fetch loop free-runs: transfers are consumed when
+        # ready, staged only while fewer than topology_lag are in flight —
+        # update() never blocks on a device->host round trip except the
+        # staleness backstop.
         self._packed_queue = collections.deque()
-        # Recently allocated feature slots (frame_idx, slots): re-marked
-        # valid when a pre-dating packed snapshot refreshes the mirror, so
-        # staleness never lets a new detection overwrite a live feature.
-        self._recent_adds = collections.deque()
         self._n_members = 0
         self._last_stats_dev = jnp.zeros(pipeline.N_STATS, jnp.int32)
         self._last_track_obs = None
@@ -205,18 +204,16 @@ class Flame:
 
         # Bootstrap detection (reference flame.cc:174-242): first poseframe
         # with no features yet.
-        if (not self.inited and is_poseframe and self._n_valid == 0
-                and not self._pending):
+        if not self.inited and is_poseframe and self._n_valid == 0:
             if p.solver.async_topology and self._packed_queue:
                 # Need a current mirror before bootstrap decisions: consume
                 # the newest queued transfer, discard older ones.
-                pk, pk_frame, det_slot, det_fid = self._packed_queue[-1]
+                pk, pk_frame = self._packed_queue[-1]
                 self._packed_queue.clear()
-                self._consume_packed(pk.get(), pk_frame, det_slot, det_fid,
+                self._consume_packed(pk.get(), pk_frame,
                                      tri_result=pk.get_extra())
             if self._n_valid == 0:
-                self._detect_on_poseframe(self._curr_pf_slot)
-                self._drain_pending(force=True)
+                self._bootstrap_detect(self._curr_pf_slot)
 
         if self._n_valid == 0 and not self._packed_queue:
             self.stats.tock("update")
@@ -229,15 +226,16 @@ class Flame:
         do_detect = bool(
             is_poseframe and self._fprev is not None
             and (p.detection.continuous or self.num_data_updates < 1))
-        det_slot = self._curr_pf_slot if do_detect else None
-        det_fid = frame_id if do_detect else None
         self.stats.tick("update_idepths")
         prev_q = self._fprev.q if self._fprev is not None else self._fnew.q
         prev_t = self._fprev.t if self._fprev is not None else self._fnew.t
         (feats, curr, member, stat_vec, track_obs,
          packed_dev) = pipeline.track_step(
             p, self.K, self.Kinv, self._stack, self._feats, self._fnew,
-            self._curr_pf_slot, prev_q, prev_t, do_detect)
+            self._curr_pf_slot, prev_q, prev_t, do_detect,
+            jnp.int32(self._feat_id_counter), self._idepthmap)
+        if do_detect:
+            self._feat_id_counter += self._add_cap
         self._feats = feats
         self._curr = curr
         self._last_track_obs = track_obs
@@ -253,78 +251,52 @@ class Flame:
         # drain here too (the reference's detection thread likewise
         # delivers a frame late, flame.cc:737-757).
         if p.solver.async_topology:
-            lag = max(int(p.solver.topology_lag), 1)
-            if p.solver.opportunistic_fetch:
-                # Consume every transfer that has already landed; block
-                # only when the pipe is full (bounded in-flight depth) or
-                # the staged topology has gone too stale. The post dispatch
-                # below then never waits on a device->host round trip.
-                must_block = (
-                    len(self._packed_queue) >= lag
-                    or (self._staged_frame is not None
-                        and self.num_imgs - self._staged_frame
-                        > p.solver.max_topology_staleness
-                        and self._packed_queue))
-                joined_any = False
-                while self._packed_queue and (
-                        self._packed_queue[0][0].ready()
-                        or (must_block and not joined_any)):
-                    (pk, pk_frame, pk_det_slot,
-                     pk_det_fid) = self._packed_queue.popleft()
-                    self.stats.tick("fetch_packed")
-                    self.stats.ema("fetch_ready_frac",
-                                   1.0 if pk.ready() else 0.0, alpha=0.2)
-                    pk_np = pk.get()
-                    joined_any = True
-                    self.stats.tock("fetch_packed")
-                    if pk.t_done is not None:
-                        self.stats.ema(
-                            "fetch_latency_ms",
-                            1e3 * (pk.t_done - pk.t_start), alpha=0.2)
-                    if not self._consume_packed(pk_np, pk_frame, pk_det_slot,
-                                                pk_det_fid,
-                                                tri_result=pk.get_extra()):
-                        self.stats.tock("update")
-                        return False
-            else:
-                pk = None
-                while len(self._packed_queue) >= lag:
-                    (pk, pk_frame, pk_det_slot,
-                     pk_det_fid) = self._packed_queue.popleft()
-                if pk is not None:
-                    self.stats.tick("fetch_packed")
-                    # Diagnostic: fraction of joins where the worker (fetch
-                    # + Delaunay) had already finished — if low, the join
-                    # blocks on tunnel latency, not on device compute.
-                    self.stats.ema("fetch_ready_frac",
-                                   1.0 if pk.ready() else 0.0, alpha=0.2)
-                    pk_np = pk.get()
-                    self.stats.tock("fetch_packed")
-                    if pk.t_done is not None:
-                        self.stats.ema(
-                            "fetch_latency_ms",
-                            1e3 * (pk.t_done - pk.t_start), alpha=0.2)
-                    if not self._consume_packed(pk_np, pk_frame, pk_det_slot,
-                                                pk_det_fid,
-                                                tri_result=pk.get_extra()):
-                        self.stats.tock("update")
-                        return False
-
-        # Drain bootstrap detections (reference new_feats_ drain :250-260;
-        # steady-state detections ride the packed transfer instead).
-        self._drain_pending(force=True)
+            # Consume every transfer that has already landed; block only
+            # when the staged topology has gone too stale (backstop). The
+            # post dispatch below then never waits on a device->host round
+            # trip at steady state.
+            # Backpressure: block for the head transfer once it is
+            # topology_lag frames old. This rate-limits the host to device
+            # throughput — without it the device backlog balloons until
+            # every fetch rides behind several frames of queued compute
+            # (measured 220 ms latency and 3x fps loss at a staleness
+            # bound of 5), classic bufferbloat.
+            too_stale = bool(self._packed_queue) and (
+                self.num_imgs - self._packed_queue[0][1]
+                >= max(int(p.solver.topology_lag), 1))
+            joined_any = False
+            while self._packed_queue and (
+                    self._packed_queue[0][0].ready()
+                    or (too_stale and not joined_any)):
+                pk, pk_frame = self._packed_queue.popleft()
+                self.stats.tick("fetch_packed")
+                self.stats.ema("fetch_ready_frac",
+                               1.0 if pk.ready() else 0.0, alpha=0.2)
+                pk_np = pk.get()
+                joined_any = True
+                self.stats.tock("fetch_packed")
+                if pk.t_done is not None:
+                    self.stats.ema(
+                        "fetch_latency_ms",
+                        1e3 * (pk.t_done - pk.t_start), alpha=0.2)
+                if not self._consume_packed(pk_np, pk_frame,
+                                            tri_result=pk.get_extra()):
+                    self.stats.tock("update")
+                    return False
 
         if self._n_valid == 0:
             self.stats.tock("update")
             return False
 
         if p.solver.async_topology:
-            # Stage the transfer now — before the post-Delaunay dispatch,
-            # so it rides the device queue ahead of it — and consume it
-            # topology_lag updates from now.
-            self._packed_queue.append((_AsyncFetch(
-                packed_dev, post=self._host_triangulate),
-                                       self.num_imgs, det_slot, det_fid))
+            # Stage a new transfer only while the pipe has room (bounded
+            # in-flight depth: deeper pipelining measured slower AND
+            # corrupts through the tunnel) — never block for room. The
+            # fetch loop free-runs at its natural cadence; detection no
+            # longer rides it (winners insert on device in track_step).
+            if len(self._packed_queue) < max(int(p.solver.topology_lag), 1):
+                self._packed_queue.append((_AsyncFetch(
+                    packed_dev, post=self._host_triangulate), self.num_imgs))
             if self._staged_tris is not None:
                 self.stats.tick("sync_graph")
                 (buf_dev, n_tris, tris_np, edges_np,
@@ -338,7 +310,7 @@ class Flame:
         else:
             # Synchronous: fetch, triangulate, and run in-frame.
             if not self._consume_packed(np.asarray(packed_dev),
-                                        self.num_imgs, det_slot, det_fid):
+                                        self.num_imgs):
                 self.stats.tock("update")
                 return False
             (buf_dev, n_tris, tris_np, edges_np,
@@ -452,40 +424,24 @@ class Flame:
         return (buf, n_tris, tris_slots, edges_sorted, n_edges)
 
     def _consume_packed(self, packed: np.ndarray, packed_frame: int = None,
-                        det_slot: int = None, det_fid: int = None,
                         tri_result=None) -> bool:
         """Digest a packed track transfer: update host mirrors, run the
-        too-few-features lifecycle checks, insert any detection winners
-        riding the transfer, triangulate the member set, and stage the
-        triangle upload. Returns False when the frame cannot proceed
-        (reference flame.cc:281-290 / syncGraph early-outs).
+        too-few-features lifecycle checks, triangulate the member set, and
+        stage the triangle upload. Returns False when the frame cannot
+        proceed (reference flame.cc:281-290 / syncGraph early-outs).
 
         packed_frame: num_imgs at the time the transfer was staged. The
-        snapshot predates any features added at or after that frame, so
-        their slots are re-marked valid to keep the allocator from
-        recycling live slots. det_slot/det_fid identify the poseframe the
-        trailing detection rows (if any) belong to."""
+        snapshot reflects all device-side insertions up to that frame
+        (insert_detections runs before packing), so the mirror needs no
+        add-protection bookkeeping."""
         p = self.params
         N = p.feature_capacity
-        det_rows = packed[N:]
         packed = packed[:N]
         flags = packed[:, 2]
         member_np = (flags & pipeline.PACK_MEMBER) > 0
         self._feat_valid_np = (flags & pipeline.PACK_FEAT_VALID) > 0
-        if packed_frame is not None:
-            while self._recent_adds and self._recent_adds[0][0] < packed_frame:
-                self._recent_adds.popleft()
-            for _, slots in self._recent_adds:
-                self._feat_valid_np[slots] = True
         self._n_valid = int(self._feat_valid_np.sum())
         self._n_members = int(member_np.sum())
-
-        if det_rows.shape[0] and det_slot is not None:
-            # Detection winners from the staging frame's poseframe; dropped
-            # if that poseframe has been pruned meanwhile (reference
-            # flame.cc:580-589).
-            if self._pf_slot_by_id.get(det_fid) == det_slot:
-                self._add_detected(det_rows, det_slot)
 
         n_valid = int(((flags & pipeline.PACK_CURR_VALID) > 0).sum())
         if n_valid < 3:
@@ -545,74 +501,20 @@ class Flame:
         (reference flame.cc:428-437)."""
         return float(self._coverage) if self._coverage is not None else 0.0
 
-    def _detect_on_poseframe(self, pf_slot: int):
-        """Run grid detection on a poseframe vs the previous frame, staging
-        winners for the next update (reference detectFeatures
-        flame.cc:822-1278 via the detection thread)."""
-        p = self.params
+    def _bootstrap_detect(self, pf_slot: int):
+        """First-poseframe detection + device-side insertion (reference
+        flame.cc:174-242). One dispatch + one valid-mask fetch to prime the
+        host mirror (one-time; steady-state detection rides track_step)."""
         if self._fprev is None:
             return
-        # Geometry from the poseframe (== fnew when called) to fprev.
-        geo = _load_rel(self.K, self.Kinv,
-                        (self._stack.q[pf_slot], self._stack.t[pf_slot]),
-                        (self._fprev.q, self._fprev.t))
-        row_offset = self.height // 3 if p.detection.do_letterbox else 0
-        # One fused dispatch; the transfer is staged and consumed at the
-        # next update's drain (detections always take effect a frame later
-        # anyway, matching the reference's detection thread).
-        out_dev = detection.detect_packed(
-            geo, self._stack.gradx[pf_slot], self._stack.grady[pf_slot],
-            self._curr.xy, self._curr.valid, p.detection.min_grad_mag,
-            p.detection.win_size, p.border, row_offset)
-        self._pending.append((_AsyncFetch(out_dev), pf_slot))
-
-    def _add_detected(self, det_out: np.ndarray, pf_slot: int):
-        """Insert detection winners ([x, y, take] rows) into free feature
-        slots, seeding idepth from the poseframe's dense map
-        (reference flame.cc:737-757)."""
-        p = self.params
-        free = np.nonzero(~self._feat_valid_np)[0]
-        if free.shape[0] == 0:
-            return
-        take = (det_out[:, 2] & pipeline.PACK_TAKE) > 0
-        if not take.any():
-            return
-        xy = det_out[take, :2].astype(np.float32) \
-            * (1.0 / pipeline.PACK_XY_SCALE)
-        n = min(xy.shape[0], free.shape[0], self._add_cap)
-        slots = np.zeros(self._add_cap, np.int32)
-        slots[:n] = free[:n]
-        self._feat_valid_np[free[:n]] = True
-        self._recent_adds.append((self.num_imgs, free[:n].copy()))
-        self._n_valid += n
-        use = np.zeros(self._add_cap, bool)
-        use[:n] = True
-        xy_pad = np.zeros((self._add_cap, 2), np.float32)
-        xy_pad[:n] = xy[:n]
-
-        mu, var = pipeline.seed_new_features(
-            jnp.asarray(xy_pad), self._stack.idepthmap[pf_slot],
-            p.idepth_init, p.idepth_var_init, self._add_cap)
-        self._feats = pipeline.add_features(
-            self._feats, jnp.asarray(slots), jnp.asarray(xy_pad),
-            pf_slot, mu, var, jnp.asarray(use), self._feat_id_counter)
+        self._feats, valid_dev = pipeline.bootstrap_detect(
+            self.params, self.K, self.Kinv, self._stack, self._feats,
+            self._fprev.q, self._fprev.t, pf_slot, self._idepthmap,
+            jnp.int32(self._feat_id_counter), self._curr.xy,
+            self._curr.valid)
         self._feat_id_counter += self._add_cap
-
-    def _drain_pending(self, force: bool = True):
-        """Drain bootstrap-staged detections (steady-state detections ride
-        the packed transfer instead; see update())."""
-        if not self._pending:
-            return
-        for out, pf_slot in self._pending:
-            rows = out.get()  # (C, 3) f32 [x, y, take] from detect_packed
-            enc = np.zeros((rows.shape[0], 3), np.uint16)
-            enc[:, 0] = np.clip(rows[:, 0] * pipeline.PACK_XY_SCALE + 0.5,
-                                0, 65535)
-            enc[:, 1] = np.clip(rows[:, 1] * pipeline.PACK_XY_SCALE + 0.5,
-                                0, 65535)
-            enc[:, 2] = (rows[:, 2] > 0) * pipeline.PACK_TAKE
-            self._add_detected(enc, pf_slot)
-        self._pending = []
+        self._feat_valid_np = np.asarray(valid_dev)
+        self._n_valid = int(self._feat_valid_np.sum())
 
     # ------------------------------------------------------------------
     # Map maintenance (reference flame.h:155-179, flame.cc:554-706).
@@ -666,10 +568,6 @@ class Flame:
             self._feats, self.K, self.Kinv, self._stack,
             jnp.asarray(kill_mask), target, float(b),
             float(self.width - b), float(self.height - b))
-        # Staged detections referencing killed pfs are dropped (reference
-        # flame.cc:580-589).
-        self._pending = [(xy, s) for xy, s in self._pending
-                         if not kill_mask[s]]
         if self._ba is not None:
             self._ba.store.drop_frames(int(ids[s]) for s in kill_slots)
         for s in kill_slots:
@@ -694,11 +592,9 @@ class Flame:
             valid=jnp.zeros(p.feature_capacity, bool))
         self._tri_mask = jnp.zeros_like(self._tri_mask)
         self._tris_staged = None
-        self._pending = []
         self._staged_tris = None
         self._staged_frame = None
         self._packed_queue.clear()
-        self._recent_adds.clear()
         self._feat_valid_np = np.zeros(p.feature_capacity, bool)
         self._n_valid = 0
 

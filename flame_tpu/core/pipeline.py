@@ -295,26 +295,87 @@ def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
     return feats3, curr, member, stats, obs
 
 
+def insert_detections(params: Params, feats: FeatureState, det_out,
+                      pf_slot, seed_map, id_base) -> FeatureState:
+    """Insert detection winners into free feature slots ON DEVICE
+    (reference flame.cc:737-757, where the detection thread hands winners
+    back to update()). Device-side slot assignment removes the host
+    round-trip from the feature lifecycle entirely: the r-th winner takes
+    the r-th free slot via a rank->slot scatter table (no sort).
+
+    det_out: (C, 3) [x, y, take] from detection.detect_packed.
+    seed_map: dense idepthmap to seed new features from (NaN = use
+    idepth_init; reference seeds from the poseframe's stashed map,
+    flame.cc:747-753 — here the previous frame's map, one frame of motion
+    away, with the same fallback).
+    id_base: int32 scalar; winner r gets feat_id id_base + r.
+    """
+    N = feats.valid.shape[0]
+    C = det_out.shape[0]
+    take = det_out[:, 2] > 0
+    xy = det_out[:, :2]
+
+    free = ~feats.valid
+    frank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free slots
+    n_free = frank[-1] + 1
+    # rank -> slot table (out-of-range ranks dropped).
+    table = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(free, frank, N)].set(jnp.arange(N, dtype=jnp.int32),
+                                       mode="drop")
+    wrank = jnp.cumsum(take.astype(jnp.int32)) - 1  # rank among winners
+    use = take & (wrank < n_free)
+    slot = table[jnp.clip(wrank, 0, N - 1)]
+    # Unused rows scatter out-of-bounds (dropped) — no duplicate-index
+    # write races on slot 0.
+    slot = jnp.where(use, slot, N)
+
+    H, W = seed_map.shape
+    xi = jnp.clip(jnp.floor(xy[:, 0] + 0.5).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.floor(xy[:, 1] + 0.5).astype(jnp.int32), 0, H - 1)
+    seed = seed_map[yi, xi]
+    mu = jnp.where(jnp.isnan(seed), params.idepth_init, seed)
+
+    def scat(arr, vals):
+        return arr.at[slot].set(vals, mode="drop")
+
+    zc = jnp.zeros((C,), jnp.int32)
+    return FeatureState(
+        xy=scat(feats.xy, xy),
+        pf_slot=scat(feats.pf_slot, jnp.broadcast_to(
+            jnp.asarray(pf_slot, jnp.int32), (C,))),
+        idepth_mu=scat(feats.idepth_mu, mu),
+        idepth_var=scat(feats.idepth_var,
+                        jnp.full((C,), params.idepth_var_init, jnp.float32)),
+        valid=scat(feats.valid, jnp.ones((C,), bool)),
+        num_updates=scat(feats.num_updates, zc),
+        num_dropouts=scat(feats.num_dropouts, zc),
+        search_status=scat(feats.search_status, zc),
+        feat_id=scat(feats.feat_id,
+                     jnp.asarray(id_base, jnp.int32)
+                     + jnp.arange(C, dtype=jnp.int32)))
+
+
 @functools.partial(jax.jit, static_argnames=("params", "do_detect"))
 def track_step(params: Params, K, Kinv, stack: FrameStack,
                feats: FeatureState, fnew: Frame, curr_pf_slot,
-               prev_q=None, prev_t=None, do_detect: bool = False):
-    """track_project_sync + (optional) poseframe detection + output packing
-    fused into ONE dispatch. Through a tunneled device every eager op and
-    extra jit call costs host-side RPC latency, so the per-frame hot path
-    dispatches exactly once here (the eager stack.gradx[slot] slices the
-    old detection path did were 2 extra ~1 ms dispatches).
+               prev_q=None, prev_t=None, do_detect: bool = False,
+               id_base=0, seed_map=None):
+    """track_project_sync + (optional) poseframe detection + device-side
+    winner insertion + output packing fused into ONE dispatch. Through a
+    tunneled device every eager op and extra jit call costs host-side RPC
+    latency, so the per-frame hot path dispatches exactly once here.
 
     Returns (feats', curr, member, stats, obs, packed) where packed is the
-    single device->host transfer (pack_track_outputs rows, with detection
-    winners appended when do_detect).
+    single (N, 3) uint16 device->host transfer. Detection winners are
+    inserted into free slots on device (insert_detections) — the host
+    learns the new occupancy from the packed flags when the transfer
+    lands, so detection never couples to the fetch cadence.
     """
     from flame_tpu.core import detection
 
     feats3, curr, member, stats, obs = track_project_sync.__wrapped__(
         params, K, Kinv, stack, feats, fnew, curr_pf_slot)
 
-    det_out = None
     if do_detect:
         H = fnew.gradx.shape[0]
         row_offset = H // 3 if params.detection.do_letterbox else 0
@@ -325,9 +386,33 @@ def track_step(params: Params, K, Kinv, stack: FrameStack,
             geo, stack.gradx[curr_pf_slot], stack.grady[curr_pf_slot],
             curr.xy, curr.valid, params.detection.min_grad_mag,
             params.detection.win_size, params.border, row_offset)
+        feats3 = insert_detections(params, feats3, det_out, curr_pf_slot,
+                                   seed_map, id_base)
 
-    packed = pack_track_outputs(feats3, curr, member, det_out)
+    packed = pack_track_outputs(feats3, curr, member)
     return feats3, curr, member, stats, obs, packed
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def bootstrap_detect(params: Params, K, Kinv, stack: FrameStack,
+                     feats: FeatureState, prev_q, prev_t, pf_slot,
+                     seed_map, id_base, curr_xy, curr_valid):
+    """First-poseframe detection + insertion, one dispatch (reference
+    flame.cc:174-242). Returns (feats', valid mask) — the caller fetches
+    the mask once to prime the host mirror."""
+    from flame_tpu.core import detection
+
+    H = stack.gradx.shape[1]
+    row_offset = H // 3 if params.detection.do_letterbox else 0
+    geo = epipolar.load_relative(
+        K, Kinv, (stack.q[pf_slot], stack.t[pf_slot]), (prev_q, prev_t))
+    det_out = detection.detect_packed(
+        geo, stack.gradx[pf_slot], stack.grady[pf_slot],
+        curr_xy, curr_valid, params.detection.min_grad_mag,
+        params.detection.win_size, params.border, row_offset)
+    feats2 = insert_detections(params, feats, det_out, pf_slot, seed_map,
+                               id_base)
+    return feats2, feats2.valid
 
 
 def _graph_sync_inner(params: Params, graph: nltgv2.GraphState,
@@ -518,31 +603,21 @@ PACK_XY_SCALE = 32.0
 PACK_MEMBER = 1
 PACK_CURR_VALID = 2
 PACK_FEAT_VALID = 4
-PACK_TAKE = 8
 
 
 @jax.jit
-def pack_track_outputs(feats: FeatureState, curr: CurrFeatures, member,
-                       det_out=None):
-    """Pack everything the host needs after tracking into one SMALL uint16
-    array (ONE device->host transfer per frame; the tunneled downlink
-    measured ~12 MB/s under load, so bytes matter): rows [0, N) are
-    per-feature [x*32, y*32, flags]; when det_out (C, 3) from
-    detection.detect_packed is given, rows [N, N+C) carry the detection
-    winners [x*32, y*32, take<<3]."""
+def pack_track_outputs(feats: FeatureState, curr: CurrFeatures, member):
+    """Pack everything the host needs after tracking into one SMALL (N, 3)
+    uint16 array (ONE device->host transfer per frame; the tunneled
+    downlink measured ~12 MB/s under load, so bytes matter): per-feature
+    [x*32, y*32, flags]."""
     def fx(v):
         return jnp.clip(v * PACK_XY_SCALE + 0.5, 0, 65535).astype(jnp.uint16)
 
     flags = (member.astype(jnp.uint16) * PACK_MEMBER
              | curr.valid.astype(jnp.uint16) * PACK_CURR_VALID
              | feats.valid.astype(jnp.uint16) * PACK_FEAT_VALID)
-    rows = jnp.stack([fx(curr.xy[:, 0]), fx(curr.xy[:, 1]), flags], axis=1)
-    if det_out is not None:
-        dflags = (det_out[:, 2] > 0).astype(jnp.uint16) * PACK_TAKE
-        det_rows = jnp.stack(
-            [fx(det_out[:, 0]), fx(det_out[:, 1]), dflags], axis=1)
-        rows = jnp.concatenate([rows, det_rows], axis=0)
-    return rows
+    return jnp.stack([fx(curr.xy[:, 0]), fx(curr.xy[:, 1]), flags], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "width", "height"))
@@ -563,50 +638,6 @@ def mesh_outputs(params: Params, K, Kinv, width: int, height: int,
     idepthmap = raster.rasterize(graph.pos, tris, vtx_idepths, tri_mask,
                                  height, width)
     return vtx_idepths, normals, tri_validity, idepthmap
-
-
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def seed_new_features(xy, ref_idepthmap, idepth_init, var_init,
-                      capacity: int):
-    """Initial idepth for newly detected features: the poseframe's dense
-    idepthmap value when available, else idepth_init
-    (reference flame.cc:747-753)."""
-    H, W = ref_idepthmap.shape
-    xi = jnp.clip(jnp.floor(xy[:, 0] + 0.5).astype(jnp.int32), 0, W - 1)
-    yi = jnp.clip(jnp.floor(xy[:, 1] + 0.5).astype(jnp.int32), 0, H - 1)
-    seed = ref_idepthmap[yi, xi]
-    mu = jnp.where(jnp.isnan(seed), idepth_init, seed)
-    var = jnp.full((capacity,), var_init, jnp.float32)
-    return mu, var
-
-
-@jax.jit
-def add_features(feats: FeatureState, slots, xy, pf_slot, mu, var, use,
-                 id_base):
-    """Scatter newly detected features into free slots. `use` masks the
-    padded rows; unused rows scatter to slot 0 with use=False (no-op via
-    where on gathered originals). New ids are id_base + row index."""
-    slots = jnp.where(use, slots, 0)
-
-    def scat(arr, new_vals):
-        cur = arr[slots]
-        vals = jnp.where(use.reshape((-1,) + (1,) * (arr.ndim - 1)),
-                         new_vals, cur)
-        return arr.at[slots].set(vals)
-
-    new_ids = jnp.asarray(id_base, jnp.int32) + \
-        jnp.arange(slots.shape[0], dtype=jnp.int32)
-    return FeatureState(
-        xy=scat(feats.xy, xy),
-        pf_slot=scat(feats.pf_slot, jnp.broadcast_to(
-            jnp.asarray(pf_slot, jnp.int32), slots.shape)),
-        idepth_mu=scat(feats.idepth_mu, mu),
-        idepth_var=scat(feats.idepth_var, var),
-        valid=scat(feats.valid, jnp.ones_like(use)),
-        num_updates=scat(feats.num_updates, jnp.zeros_like(slots)),
-        num_dropouts=scat(feats.num_dropouts, jnp.zeros_like(slots)),
-        search_status=scat(feats.search_status, jnp.zeros_like(slots)),
-        feat_id=scat(feats.feat_id, new_ids))
 
 
 @jax.jit

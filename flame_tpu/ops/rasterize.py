@@ -89,7 +89,12 @@ def _eval_chunk(a, b, c, area2, vals, valid, xs, ys):
          + c[:, :, None, None])  # (C, 3, H, W)
     inside = jnp.all(w >= 0, axis=1) & (valid & (area2 > 0))[:, None, None]
     denom = jnp.where(area2 > 0, area2, 1.0)[:, None, None]
-    interp = jnp.einsum("ckhw,ck->chw", w, vals) / denom
+    # Elementwise contraction over the 3 corners (NOT einsum: a bf16
+    # MXU contraction biases the dense map, and f32 matmul wastes MXU
+    # cycles — this fuses into the surrounding elementwise graph).
+    interp = (w[:, 0] * vals[:, 0, None, None]
+              + w[:, 1] * vals[:, 1, None, None]
+              + w[:, 2] * vals[:, 2, None, None]) / denom
     return jnp.where(inside, interp, -jnp.inf)
 
 

@@ -108,19 +108,16 @@ class SolverParams:
     # full device->host round trip of the member-position fetch (~30 ms on
     # a tunneled device) behind a whole frame.
     async_topology: bool = False
-    topology_lag: int = 2
-    # Opportunistic fetch consumption: consume packed transfers whenever
-    # they are ready instead of blocking topology_lag frames after staging.
-    # The smoothing topology then lags 2..max_topology_staleness frames
+    # Maximum in-flight packed transfers. The fetch loop free-runs:
+    # transfers are consumed when ready, new ones staged only while fewer
+    # than this many are in flight (never blocking for room — depth > 2
+    # measured both slower AND corrupting through the tunnel). The
+    # smoothing topology then lags 2..max_topology_staleness frames
     # depending on tunnel latency, and the post-Delaunay dispatch never
-    # waits on a device->host round trip (which measured ~25-60 ms through
-    # the tunnel and otherwise serializes the whole pipeline to
-    # (device_work + round_trip) / (lag + 1) per frame). In-flight
-    # transfers stay bounded by topology_lag — the depth measured safe on
-    # the tunnel (deeper pipelining corrupts transfers).
-    opportunistic_fetch: bool = True
-    # Block (backpressure) when the newest staged topology would be older
-    # than this many frames.
+    # waits on a device->host round trip at steady state.
+    topology_lag: int = 2
+    # Backstop: block for the head transfer when the newest staged
+    # topology is older than this many frames.
     max_topology_staleness: int = 5
 
 

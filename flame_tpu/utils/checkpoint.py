@@ -111,7 +111,6 @@ def load(path: str, fl) -> None:
                          for k, v in header["pf_slot_by_id"].items()}
     fl._curr_pf_slot = header["curr_pf_slot"]
     fl._feat_id_counter = int(header.get("feat_id_counter", 0))
-    fl._pending = []
     used = set(fl._pf_slot_by_id.values())
     fl._pf_free = [s for s in range(fl.params.poseframe_capacity)
                    if s not in used]
