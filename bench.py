@@ -69,6 +69,7 @@ def main():
             async_topology=True,
             # Experiment knobs (default production values).
             topology_lag=int(os.environ.get("BENCH_LAG", 2)),
+            fetch_stride=int(os.environ.get("BENCH_STRIDE", 1)),
             n_iters_per_frame=int(os.environ.get("BENCH_ITERS", 40))),
         debug_quiet=True)
 

@@ -97,6 +97,30 @@ class _AsyncFetch:
         return self._extra
 
 
+class _AsyncWork:
+    """Run fn() in a worker thread (second pipeline stage: host Delaunay +
+    RCM overlap with device compute, like the reference's triangulation
+    inside syncGraph overlapping the free-running graph thread)."""
+
+    __slots__ = ("_fn", "_result", "_thread")
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._result = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        self._result = self._fn()
+
+    def ready(self) -> bool:
+        return not self._thread.is_alive()
+
+    def get(self):
+        self._thread.join()
+        return self._result
+
+
 class Flame:
     """Dense inverse-depth mesh estimation (reference flame.h:96)."""
 
@@ -109,6 +133,8 @@ class Flame:
         self.Kinv = jnp.asarray(Kinv, jnp.float32)
 
         self.stats = StatsTracker()
+        self._smoother_mode = pipeline.resolve_smoother(
+            p, p.feature_capacity)
         self.inited = False
         self.num_imgs = 0
         self.num_data_updates = 0
@@ -149,6 +175,7 @@ class Flame:
         # (buf_dev, n_tris, tris_np, edges_np, n_edges) staged for async
         # topology.
         self._staged_tris = None
+        self._tri_pending = None  # in-flight async Delaunay (_AsyncWork)
         self._staged_frame = None  # num_imgs of the staged topology's snapshot
         # In-flight packed track transfers (oldest first, stamped with
         # num_imgs). The fetch loop free-runs: transfers are consumed when
@@ -252,18 +279,20 @@ class Flame:
         # delivers a frame late, flame.cc:737-757).
         if p.solver.async_topology:
             # Consume every transfer that has already landed; block only
-            # when the staged topology has gone too stale (backstop). The
-            # post dispatch below then never waits on a device->host round
-            # trip at steady state.
+            # when the head transfer has gone too stale (backstop).
             # Backpressure: block for the head transfer once it is
-            # topology_lag frames old. This rate-limits the host to device
-            # throughput — without it the device backlog balloons until
-            # every fetch rides behind several frames of queued compute
-            # (measured 220 ms latency and 3x fps loss at a staleness
-            # bound of 5), classic bufferbloat.
+            # topology_lag * fetch_stride frames old. This rate-limits the
+            # host to device throughput — without it the device backlog
+            # balloons until every fetch rides behind several frames of
+            # queued compute (measured 220 ms latency and 3x fps loss at
+            # a staleness bound of 5), classic bufferbloat. The join waits
+            # for the TRANSFER only; Delaunay + RCM run in a second async
+            # stage (_consume_packed) so their ~8 ms never sit inside the
+            # blocking path.
             too_stale = bool(self._packed_queue) and (
                 self.num_imgs - self._packed_queue[0][1]
-                >= max(int(p.solver.topology_lag), 1))
+                >= max(int(p.solver.topology_lag), 1)
+                * max(int(p.solver.fetch_stride), 1))
             joined_any = False
             while self._packed_queue and (
                     self._packed_queue[0][0].ready()
@@ -279,8 +308,7 @@ class Flame:
                     self.stats.ema(
                         "fetch_latency_ms",
                         1e3 * (pk.t_done - pk.t_start), alpha=0.2)
-                if not self._consume_packed(pk_np, pk_frame,
-                                            tri_result=pk.get_extra()):
+                if not self._consume_packed(pk_np, pk_frame):
                     self.stats.tock("update")
                     return False
 
@@ -289,14 +317,20 @@ class Flame:
             return False
 
         if p.solver.async_topology:
-            # Stage a new transfer only while the pipe has room (bounded
-            # in-flight depth: deeper pipelining measured slower AND
-            # corrupts through the tunnel) — never block for room. The
-            # fetch loop free-runs at its natural cadence; detection no
-            # longer rides it (winners insert on device in track_step).
-            if len(self._packed_queue) < max(int(p.solver.topology_lag), 1):
-                self._packed_queue.append((_AsyncFetch(
-                    packed_dev, post=self._host_triangulate), self.num_imgs))
+            # Stage a new transfer only on stride frames and while the
+            # pipe has room (in-flight depth > 2 measured 25x slower
+            # through the tunnel) — never block for room. The fetch loop
+            # free-runs at its natural cadence; detection no longer rides
+            # it (winners insert on device in track_step).
+            stride = max(int(p.solver.fetch_stride), 1)
+            if (self.num_imgs % stride == 0 or not self.inited) and \
+                    len(self._packed_queue) < max(int(p.solver.topology_lag),
+                                                  1):
+                self._packed_queue.append((_AsyncFetch(packed_dev),
+                                           self.num_imgs))
+            # Adopt a finished triangulation (forced when nothing is
+            # staged yet — bootstrap — so the first mesh appears asap).
+            self._adopt_tri_result(force=self._staged_tris is None)
             if self._staged_tris is not None:
                 self.stats.tick("sync_graph")
                 (buf_dev, n_tris, tris_np, edges_np,
@@ -311,6 +345,10 @@ class Flame:
             # Synchronous: fetch, triangulate, and run in-frame.
             if not self._consume_packed(np.asarray(packed_dev),
                                         self.num_imgs):
+                self.stats.tock("update")
+                return False
+            self._adopt_tri_result(force=True)
+            if self._staged_tris is None:
                 self.stats.tock("update")
                 return False
             (buf_dev, n_tris, tris_np, edges_np,
@@ -372,11 +410,13 @@ class Flame:
         concurrently with update(), flame.cc:98-116). Returns None when
         there are too few members."""
         p = self.params
+        self.stats.tick("triangulate")
         N = p.feature_capacity
         pk = packed[:N]
         member_np = (pk[:, 2] & pipeline.PACK_MEMBER) > 0
         member_slots = np.nonzero(member_np)[0]
         if member_slots.shape[0] < 3:
+            self.stats.tock("triangulate")
             return None
         xy = pk[member_slots, :2].astype(np.float32) \
             * (1.0 / pipeline.PACK_XY_SCALE)
@@ -406,29 +446,46 @@ class Flame:
         ucodes = dsorted[first][: edge_src.shape[0]]
         edges_sorted = np.stack([ucodes // V, ucodes % V], axis=1)
         n_edges = edges_sorted.shape[0]
-        ranks = topology.build_edge_ranks(edges_sorted, V, E_cap)
 
         # ONE u16 upload: [n_tris, n_edges | tris flat | edge_src | ranks
-        # (src_rank | dst_slot_rank << 8)]. The tunnel link is the
-        # pipeline's scarcest resource (~20-40 MB/s under load); this is
-        # ~40% smaller than separate tris/edges/ranks uploads and one RPC
-        # instead of three.
-        buf = np.zeros(2 + 3 * T_cap + 2 * E_cap, np.uint16)
+        # | perm (pallas mode)]. The tunnel link is the pipeline's
+        # scarcest resource (~20-40 MB/s under load); this is ~40% smaller
+        # than separate uploads and one RPC instead of several.
+        pallas = self._smoother_mode == "pallas"
+        buf = np.zeros(2 + 3 * T_cap + 2 * E_cap + (V if pallas else 0),
+                       np.uint16)
         buf[0] = n_tris
         buf[1] = n_edges
         buf[2: 2 + 3 * n_tris] = tris_slots.reshape(-1)
         buf[2 + 3 * T_cap: 2 + 3 * T_cap + n_edges] = edge_src
+        if pallas:
+            # RCM ordering of the members + banded-kernel edge ranks
+            # (optimize/pallas_smoother.py).
+            from flame_tpu.optimize import pallas_smoother as ps
+            mem = np.zeros(V, bool)
+            mem[member_slots] = True
+            perm = ps.rcm_order(edges_sorted, n_edges, V, mem)
+            inv = np.empty(V, np.int32)
+            inv[perm] = np.arange(V, dtype=np.int32)
+            ranks = ps.perm_edge_ranks(edges_sorted, n_edges, inv, E_cap,
+                                       p.solver.max_vertex_degree,
+                                       p.solver.pallas_reach)
+            buf[2 + 3 * T_cap + 2 * E_cap:] = perm.astype(np.uint16)
+        else:
+            ranks = topology.build_edge_ranks(edges_sorted, V, E_cap)
         rk = (np.minimum(ranks[:, 0], 255).astype(np.uint16)
               | (np.minimum(ranks[:, 1], 255).astype(np.uint16) << 8))
-        buf[2 + 3 * T_cap + E_cap:] = rk
+        buf[2 + 3 * T_cap + E_cap: 2 + 3 * T_cap + 2 * E_cap] = rk
+        self.stats.tock("triangulate")
         return (buf, n_tris, tris_slots, edges_sorted, n_edges)
 
-    def _consume_packed(self, packed: np.ndarray, packed_frame: int = None,
-                        tri_result=None) -> bool:
+    def _consume_packed(self, packed: np.ndarray,
+                        packed_frame: int = None) -> bool:
         """Digest a packed track transfer: update host mirrors, run the
-        too-few-features lifecycle checks, triangulate the member set, and
-        stage the triangle upload. Returns False when the frame cannot
-        proceed (reference flame.cc:281-290 / syncGraph early-outs).
+        too-few-features lifecycle checks, and kick off the asynchronous
+        triangulation of the member set (joined later by
+        _adopt_tri_result). Returns False when the frame cannot proceed
+        (reference flame.cc:281-290 / syncGraph early-outs).
 
         packed_frame: num_imgs at the time the transfer was staged. The
         snapshot reflects all device-side insertions up to that frame
@@ -450,23 +507,32 @@ class Flame:
             self.clear()
             return False
 
-        if tri_result is None:
-            # Synchronous path (bootstrap / async_topology off); the
-            # steady-state async path triangulates inside the fetch thread.
-            self.stats.tick("triangulate")
-            tri_result = self._host_triangulate(packed)
-            self.stats.tock("triangulate")
-        if tri_result is None:
-            return False
-        buf, n_tris, tris_slots, edges_sorted, n_edges = tri_result
+        # Second async stage: Delaunay + RCM in their own worker so their
+        # ~8 ms never extend the blocking fetch join. A still-unjoined
+        # previous result is adopted first (never dropped — its staleness
+        # masking is no worse than skipping a topology update).
+        self._adopt_tri_result(force=False)
+        self._tri_pending = (_AsyncWork(
+            lambda pk=packed: self._host_triangulate(pk)), packed_frame)
+        return True
 
-        # The device upload stays on the main thread so the device queue
-        # keeps a single dispatcher.
+    def _adopt_tri_result(self, force: bool):
+        """Join the pending async triangulation if done (or force) and
+        stage its topology upload. The upload stays on the main thread so
+        the device queue keeps a single dispatcher."""
+        if self._tri_pending is None:
+            return
+        work, frame = self._tri_pending
+        if not (force or work.ready()):
+            return
+        self._tri_pending = None
+        tri_result = work.get()
+        if tri_result is None:  # too few members to triangulate
+            return
+        buf, n_tris, tris_slots, edges_sorted, n_edges = tri_result
         self._staged_tris = (jnp.asarray(buf), n_tris, tris_slots,
                              edges_sorted, n_edges)
-        self._staged_frame = packed_frame if packed_frame is not None \
-            else self.num_imgs
-        return True
+        self._staged_frame = frame if frame is not None else self.num_imgs
 
     def _run_post_delaunay(self, member, curr, topo_buf, n_tris: int):
         """Dispatch the fused topology+sync+smooth+mesh step. topo_buf is
@@ -593,6 +659,7 @@ class Flame:
         self._tri_mask = jnp.zeros_like(self._tri_mask)
         self._tris_staged = None
         self._staged_tris = None
+        self._tri_pending = None
         self._staged_frame = None
         self._packed_queue.clear()
         self._feat_valid_np = np.zeros(p.feature_capacity, bool)

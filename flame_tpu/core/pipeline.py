@@ -492,6 +492,18 @@ def _graph_sync_inner(params: Params, graph: nltgv2.GraphState,
         src_slot=topo.src_slot)
 
 
+def resolve_smoother(params: Params, v_cap: int) -> str:
+    """Pick the smoother implementation for this configuration: the fused
+    Pallas banded-lane kernel on TPU (needs V % 128 == 0), the XLA
+    vertex-centric formulation elsewhere."""
+    mode = params.solver.smoother
+    if mode == "auto":
+        import jax as _jax
+        mode = ("pallas" if _jax.default_backend() == "tpu"
+                and v_cap % 128 == 0 else "vertex")
+    return mode
+
+
 @functools.partial(jax.jit, static_argnames=("params", "width", "height"))
 def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
                        member, curr: CurrFeatures,
@@ -509,8 +521,11 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
 
     Topology comes either as topo_buf — the production path's single
     packed u16 upload [n_tris, n_edges | tris flat (T, 3) | edge_src into
-    the 3T directed edges | ranks lo|hi<<8] (the tunnel uplink is the
-    scarcest resource) — or as separate tris/edges/ranks arrays."""
+    the 3T directed edges | ranks | perm (pallas mode)] (the tunnel
+    uplink is the scarcest resource) — or as separate tris/edges/ranks
+    arrays. The ranks segment carries incidence slot ranks (lo | hi << 8)
+    in vertex-smoother mode and RCM-space edge ranks (sr | dr << 8) in
+    pallas mode; perm is the RCM rank -> vertex-slot permutation."""
     from flame_tpu.optimize import topology as topo_mod
 
     geo_prev_to_new = epipolar.load_relative(K, Kinv, pose_prev, pose_new)
@@ -518,7 +533,9 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
     V = graph.x.shape[0]
     E = graph.q1.shape[0]
     D = graph.inc_edge.shape[1]
+    smoother = resolve_smoother(params, V)
 
+    perm = None
     if topo_buf is not None:
         T = params.triangle_capacity
         assert E == params.edge_capacity
@@ -526,27 +543,30 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
         n_edges = topo_buf[1].astype(jnp.int32)
         tris = topo_buf[2: 2 + 3 * T].reshape(T, 3).astype(jnp.int32)
         edge_src = topo_buf[2 + 3 * T: 2 + 3 * T + E].astype(jnp.int32)
-        rk = topo_buf[2 + 3 * T + E:].astype(jnp.int32)
+        rk = topo_buf[2 + 3 * T + E: 2 + 3 * T + 2 * E].astype(jnp.int32)
         edge_ranks = jnp.stack([rk & 0xFF, rk >> 8], axis=1)
+        if smoother == "pallas":
+            perm = topo_buf[2 + 3 * T + 2 * E:].astype(jnp.int32)
         # Directed corner edges -> the host-selected unique occurrence.
         a = tris.reshape(-1)
         b = tris[:, jnp.array([1, 2, 0])].reshape(-1)
         dlh = jnp.stack([jnp.minimum(a, b), jnp.maximum(a, b)], axis=1)
         edges = dlh[edge_src]  # (E, 2) canonical (lo, hi), code-sorted
 
-    # The production smoother is the vertex-centric one-gather formulation,
-    # which needs the [V, D] incidence tables + src_slot. When the host
-    # supplies the (sorted, unique) edge list from Delaunay, the
-    # device-side triangle sort/unique is skipped.
+    # The XLA vertex-centric smoother needs the [V, D] incidence tables +
+    # src_slot; the Pallas kernel builds its own banded layout instead,
+    # so the incidence build (2 big scatters) is skipped entirely.
     if edges is not None:
         topo = topo_mod.from_edges(
             edges, n_edges, curr.xy, graph.edges, graph.edge_mask,
-            graph.q1, graph.q2, graph.q3, E, V, D, build_incidence=True,
-            ranks=edge_ranks)
+            graph.q1, graph.q2, graph.q3, E, V, D,
+            build_incidence=(smoother != "pallas"),
+            ranks=edge_ranks if smoother != "pallas" else None)
     else:
         topo = topo_mod.from_triangles(
             tris, n_tris, curr.xy, graph.edges, graph.edge_mask,
-            graph.q1, graph.q2, graph.q3, E, V, D, build_incidence=True)
+            graph.q1, graph.q2, graph.q3, E, V, D,
+            build_incidence=(smoother != "pallas"))
 
     # Under async topology the triangle set lags membership by one frame;
     # mask out edges touching vertices that left the graph.
@@ -579,9 +599,19 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
         graph_scale = new_scale
 
     if params.do_nltgv2:
-        graph = nltgv2.smooth(params.rparams, graph,
-                              params.solver.n_iters_per_frame,
-                              mode="vertex")
+        if smoother == "pallas" and perm is not None:
+            from flame_tpu.optimize import pallas_smoother
+            inv_perm = jnp.zeros((V,), jnp.int32).at[perm].set(
+                jnp.arange(V, dtype=jnp.int32))
+            graph = pallas_smoother.smooth(
+                params.rparams, graph, perm, inv_perm, edge_ranks,
+                params.solver.n_iters_per_frame,
+                params.solver.max_vertex_degree,
+                reach=params.solver.pallas_reach)
+        else:
+            graph = nltgv2.smooth(params.rparams, graph,
+                                  params.solver.n_iters_per_frame,
+                                  mode="vertex")
     else:
         graph = graph._replace(x=graph.data_term)
 

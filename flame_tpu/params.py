@@ -100,6 +100,15 @@ class SolverParams:
     # sizes (hash-map edge traversal ~3 ms/iteration at 16k edges).
     n_iters_per_frame: int = 40
     max_vertex_degree: int = 16  # Capacity of the per-vertex incidence table.
+    # Smoother implementation: "auto" picks the fused Pallas banded-lane
+    # kernel (optimize/pallas_smoother.py) on TPU — per-iteration cost
+    # ~7 us vs ~170 us for the XLA gather formulation — and the XLA
+    # vertex-centric formulation elsewhere. "vertex" / "pallas" force one.
+    smoother: str = "auto"
+    # Row reach of the Pallas kernel's banded neighbor access: edges
+    # whose RCM ranks differ by more than reach*128 rows are left
+    # unsmoothed for the frame (none occur at reach=2 on VGA meshes).
+    pallas_reach: int = 2
     # Lagged triangulation: smooth on a topology that is topology_lag
     # frames old while the host triangulates newer member sets in parallel
     # — the TPU analogue of the reference's free-running graph thread
@@ -116,6 +125,13 @@ class SolverParams:
     # depending on tunnel latency, and the post-Delaunay dispatch never
     # waits on a device->host round trip at steady state.
     topology_lag: int = 2
+    # Stage a packed transfer every fetch_stride-th update. Detection
+    # inserts on device (never rides the fetch), so skipping fetches only
+    # ages the Delaunay topology — masked-inert staleness the mesh
+    # filters absorb — while relaxing the per-frame fetch-join pressure:
+    # steady-state wall time is bounded below by
+    # fetch_latency / (topology_lag * fetch_stride).
+    fetch_stride: int = 1
     # Backstop: block for the head transfer when the newest staged
     # topology is older than this many frames.
     max_topology_staleness: int = 5
