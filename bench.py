@@ -70,6 +70,7 @@ def main():
             # Experiment knobs (default production values).
             topology_lag=int(os.environ.get("BENCH_LAG", 2)),
             fetch_stride=int(os.environ.get("BENCH_STRIDE", 1)),
+            join_age=int(os.environ.get("BENCH_JOINAGE", 3)),
             n_iters_per_frame=int(os.environ.get("BENCH_ITERS", 40))),
         debug_quiet=True)
 

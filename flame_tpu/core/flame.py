@@ -289,10 +289,11 @@ class Flame:
             # for the TRANSFER only; Delaunay + RCM run in a second async
             # stage (_consume_packed) so their ~8 ms never sit inside the
             # blocking path.
-            too_stale = bool(self._packed_queue) and (
-                self.num_imgs - self._packed_queue[0][1]
-                >= max(int(p.solver.topology_lag), 1)
+            join_age = int(p.solver.join_age) or (
+                max(int(p.solver.topology_lag), 1)
                 * max(int(p.solver.fetch_stride), 1))
+            too_stale = bool(self._packed_queue) and (
+                self.num_imgs - self._packed_queue[0][1] >= join_age)
             joined_any = False
             while self._packed_queue and (
                     self._packed_queue[0][0].ready()

@@ -132,6 +132,14 @@ class SolverParams:
     # steady-state wall time is bounded below by
     # fetch_latency / (topology_lag * fetch_stride).
     fetch_stride: int = 1
+    # Age (in frames) at which the head transfer join becomes blocking.
+    # 0 -> topology_lag * fetch_stride. The blocking join is the
+    # pipeline's only flow control: it bounds the device backlog at
+    # join_age frames of compute, so steady-state wall time is
+    # max(device_work, fetch_latency / join_age). In-flight transfer
+    # DEPTH stays capped by topology_lag (the tunnel collapses beyond 2);
+    # a join age above the depth just tolerates more topology staleness.
+    join_age: int = 3
     # Backstop: block for the head transfer when the newest staged
     # topology is older than this many frames.
     max_topology_staleness: int = 5
