@@ -152,13 +152,16 @@ def sharded_smooth(p: RegularizerParams, g: nltgv2.GraphState, n_iters: int,
 # ---------------------------------------------------------------------------
 
 
-def sharded_update_step(params: Params, mesh: Mesh):
+def sharded_update_step(params: Params, mesh: Mesh, smoother: str = "edge"):
     """Build a jitted multi-device per-frame step.
 
-    Returns step(K, Kinv, stack, feats, fnew, curr_pf_slot, graph) ->
-    (feats', curr, member, graph') where feature arrays are sharded over
-    the mesh axis for tracking (DP) and edge arrays are sharded for the
-    smoothing iterations (graph-TP); everything else is replicated.
+    Returns step(K, Kinv, stack, feats, fnew, curr_pf_slot, graph,
+    [perm, inv_perm, ranks_p]) -> (feats', curr, member, graph', stats)
+    where feature arrays are sharded over the mesh axis for tracking (DP)
+    and the smoothing iterations run either edge-sharded with a per-
+    iteration psum (smoother="edge", replicated vertices) or vertex-
+    partitioned with halo exchange (smoother="halo", pod-slice mode —
+    pass the RCM perm/inv/ranks trailing args; see parallel/halo.py).
     """
     n_dev = mesh.devices.size
     assert params.feature_capacity % n_dev == 0, "feature capacity % devices"
@@ -188,6 +191,24 @@ def sharded_update_step(params: Params, mesh: Mesh):
         track_body, mesh=mesh,
         in_specs=(rep, rep, stack_rep, fshard_tree, frame_rep, rep),
         out_specs=(fshard_tree, curr_shard, P(AXIS), P(AXIS), obs_shard))
+
+    if smoother == "halo":
+        from flame_tpu.parallel import halo as halo_mod
+
+        def step(K, Kinv, stack, feats, fnew, curr_pf_slot, graph,
+                 perm, inv_perm, ranks_p):
+            feats2, curr, member, stats, _obs = tracked(
+                K, Kinv, stack, feats, fnew, curr_pf_slot)
+            graph2 = halo_mod.halo_smooth(
+                params.rparams, graph, perm, inv_perm, ranks_p,
+                params.solver.n_iters_per_frame,
+                params.solver.max_vertex_degree, mesh,
+                halo=min(params.feature_capacity // n_dev,
+                         (params.solver.pallas_reach + 1) * 128))
+            stats = jnp.sum(stats.reshape(n_dev, -1), axis=0)
+            return feats2, curr, member, graph2, stats
+
+        return jax.jit(step)
 
     def step(K, Kinv, stack, feats, fnew, curr_pf_slot, graph):
         feats2, curr, member, stats, _obs = tracked(K, Kinv, stack, feats,
