@@ -170,6 +170,7 @@ class Flame:
         self._coverage = None  # device scalar, fetched lazily
         self._pf_slot_by_id: Dict[int, int] = {}
         self._curr_pf_slot: Optional[int] = None
+        self._curr_pf_pose_np = None  # host copy for auto-poseframe scoring
         self._fnew = None
         self._fprev = None
         # (buf_dev, n_tris, tris_np, edges_np, n_edges) staged for async
@@ -204,12 +205,21 @@ class Flame:
     # ------------------------------------------------------------------
 
     def update(self, time: float, frame_id: int, pose, img,
-               is_poseframe: bool) -> bool:
-        """Process one posed image. pose = (q wxyz, t) camera-to-world."""
+               is_poseframe: Optional[bool] = None) -> bool:
+        """Process one posed image. pose = (q wxyz, t) camera-to-world.
+
+        is_poseframe=None defers the decision to the automatic selector
+        when params.auto_poseframe is set (else it means False, matching
+        the reference's caller-decides contract, flame.h:145-147)."""
         p = self.params
         self.stats.tick("update")
 
         q, t = pose
+        q_np = np.asarray(q, np.float64)
+        t_np = np.asarray(t, np.float64)
+        if is_poseframe is None:
+            is_poseframe = p.auto_poseframe and self._want_poseframe(
+                q_np, t_np)
         q = jnp.asarray(q, jnp.float32)
         t = jnp.asarray(t, jnp.float32)
 
@@ -223,6 +233,7 @@ class Flame:
             self._stack = frame_mod.insert(self._stack, slot, self._fnew)
             self._pf_slot_by_id[frame_id] = slot
             self._curr_pf_slot = slot
+            self._curr_pf_pose_np = (q_np, t_np)
 
         self.num_imgs += 1
         if self.num_imgs < 2 or self._curr_pf_slot is None:
@@ -553,6 +564,28 @@ class Flame:
         self._tris_staged = (self._tris_np, n_tris)
         if p.do_nltgv2:
             self.num_regularizer_updates += p.solver.n_iters_per_frame
+
+    def _want_poseframe(self, q_np: np.ndarray, t_np: np.ndarray) -> bool:
+        """Automatic poseframe decision (params.auto_poseframe): declare a
+        new poseframe when the current one has become a poor stereo
+        reference for incoming frames — probe disparity past the target,
+        or orientation/overlap hard-reject in the keyframe score."""
+        if self._curr_pf_slot is None or self._curr_pf_pose_np is None:
+            return True
+        p = self.params
+        q_pf, t_pf = self._curr_pf_pose_np
+        q_rel, t_rel = keyframe.KeyframeSelector._relative(
+            q_pf, t_pf, q_np, t_np)
+        K_np = np.asarray(self.K, np.float64)
+        Kinv_np = np.asarray(self.Kinv, np.float64)
+        disp = keyframe.test_disparity(
+            K_np, Kinv_np, q_rel, t_rel,
+            (self.width / 2.0, self.height / 2.0), p.auto_pf_depth)
+        if disp >= p.auto_pf_max_disparity:
+            return True
+        s = keyframe.score(self.width, self.height, K_np, Kinv_np,
+                           q_rel, t_rel)
+        return s <= -np.finfo(np.float32).max / 2
 
     def _alloc_pf_slot(self, frame_id: int) -> int:
         if self._pf_free:

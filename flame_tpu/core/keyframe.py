@@ -173,6 +173,31 @@ class KeyframeSelector:
         return self.times[idx], self.imgs[idx], self.poses[idx]
 
 
+def test_disparity(K: np.ndarray, Kinv: np.ndarray, q_rel: np.ndarray,
+                   t_rel: np.ndarray, u_test: np.ndarray,
+                   depth: float) -> float:
+    """Disparity of a test pixel at the given depth under the relative
+    transform (the probe inside score()'s disparity term, reference
+    keyframe_selector.cc:222-247). Returns +inf on degenerate geometry."""
+    K = np.asarray(K, np.float64)
+    Kinv = np.asarray(Kinv, np.float64)
+    qw, qx, qy, qz = np.asarray(q_rel, np.float64)
+    R = np.array([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+         2 * (qx * qz + qw * qy)],
+        [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - qw * qx)],
+        [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+         1 - 2 * (qx * qx + qy * qy)]])
+    t = np.asarray(t_rel, np.float64)
+    u = np.array([u_test[0], u_test[1], 1.0])
+    p_inf = K @ (R @ (Kinv @ u))
+    p_d = K @ (R @ (depth * (Kinv @ u)) + t)
+    if abs(p_inf[2]) < 1e-12 or abs(p_d[2]) < 1e-12:
+        return float("inf")
+    return float(np.linalg.norm(p_d[:2] / p_d[2] - p_inf[:2] / p_inf[2]))
+
+
 def score(width: int, height: int, K: np.ndarray, Kinv: np.ndarray,
           q_new_to_ref: np.ndarray, t_new_to_ref: np.ndarray,
           min_depth: float = 1.0, max_depth: float = 50.0,

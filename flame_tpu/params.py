@@ -207,6 +207,17 @@ class Params:
     rparams: RegularizerParams = dataclasses.field(default_factory=RegularizerParams)
     solver: SolverParams = dataclasses.field(default_factory=SolverParams)
 
+    # --- Automatic poseframe selection (new; the reference leaves the
+    # is_poseframe decision to its frontend, flame.h:145-147). When
+    # enabled and update() is called with is_poseframe=None, a new
+    # poseframe is declared once the stereo disparity of a probe pixel
+    # vs the current poseframe exceeds auto_pf_max_disparity px (probe
+    # at auto_pf_depth meters), or the keyframe score hard-rejects the
+    # geometry (keyframe_selector.cc:139-255 semantics). ---
+    auto_poseframe: bool = False
+    auto_pf_max_disparity: float = 16.0
+    auto_pf_depth: float = 5.0
+
     # --- Bundle adjustment (new). ---
     do_ba: bool = False
     ba: BAParams = dataclasses.field(default_factory=BAParams)

@@ -227,3 +227,31 @@ def test_debug_images(run_sequence):
                  "detections", "matches"):
         img = getattr(fl, f"get_debug_image_{name}")()
         assert img.shape == (H, W, 3) and img.dtype == np.uint8, name
+
+
+def test_auto_poseframe_selection():
+    """params.auto_poseframe: update(is_poseframe=None) declares poseframes
+    itself, spaced by the probe-disparity target (new capability; the
+    reference's frontend decides, flame.h:145-147)."""
+    params = make_params()
+    import dataclasses
+    params = dataclasses.replace(params, auto_poseframe=True,
+                                 auto_pf_max_disparity=12.0,
+                                 auto_pf_depth=PLANE_Z)
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+    Kinv = camera.inv_k(K)
+    fl = Flame(W, H, K, Kinv, params)
+
+    n_pf = 0
+    for i in range(16):
+        cam_x = 0.15 * i
+        pose = (se3.quat_identity(), jnp.array([cam_x, 0.0, 0.0]))
+        before = len(fl._pf_slot_by_id)
+        fl.update(i * 0.1, i, pose, render(cam_x), None)
+        n_pf += len(fl._pf_slot_by_id) - before
+
+    # Probe at (W/2, H/2), depth 5: disparity = fx * |dx| / z = 3 px per
+    # frame -> a poseframe roughly every 4 frames after the first.
+    assert 3 <= n_pf <= 7, n_pf
+    idm = fl.get_inverse_depth_map()
+    assert np.mean(~np.isnan(idm)) > 0.3
