@@ -79,14 +79,17 @@ def bilinear_stack(imgs: jax.Array, frame_idx: jax.Array, x: jax.Array,
     fidx = jnp.clip(frame_idx, 0, F - 1).astype(jnp.int32)
     idx00 = fidx * (H * W) + y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
     flat = imgs.reshape(-1).astype(jnp.float32)
-    if x.size >= 16384:
+    # Cost model (v5e): packing saves 3 gathers of x.size rows
+    # (~1.7 ns/row) but materializes a (F*H*W, 4) matrix (~0.01 ns/elem
+    # of HBM traffic each way) — worth it only when the query is large
+    # RELATIVE to the stack (a 16-poseframe VGA stack costs ~200 us to
+    # pack; the 5-tap ref-patch query is 20k rows ~ 35 us/gather).
+    if x.size > imgs.size // 512:
         # Packed-corner row gather as in bilinear(); the roll wraparound
         # between adjacent frames is never gathered (interior clamp keeps
         # idx00 + W + 1 within the sample's own frame).
         v = _pack4(flat, W)[idx00]
     else:
-        # Small query: building the (F*H*W, 4) packed matrix costs more
-        # HBM traffic than the 4x index reduction saves.
         idx = jnp.stack([idx00, idx00 + 1, idx00 + W, idx00 + W + 1],
                         axis=-1)
         v = flat[idx]

@@ -249,29 +249,36 @@ def build_layout(g, perm, inv_perm, ranks_p, degree: int,
     slot_s = jnp.where(alive, flat_slot(lo_p, sr), sent)
     slot_d = jnp.where(alive, flat_slot(hi_p, dr), sent)
 
-    def scat2(vals_s, vals_d, dtype=jnp.float32, fill=0):
-        buf = jnp.full((R * D * LANES + 1,), fill, dtype)
-        buf = buf.at[slot_s].set(vals_s, mode="drop")
-        buf = buf.at[slot_d].set(vals_d, mode="drop")
-        return buf[:-1].reshape(R * D, LANES)
-
+    # Per-edge slot values ride FOUR row-scatters total (int pair + 9
+    # float fields, src and dst sides) instead of one scatter per field —
+    # TPU scatters cost ~5x gathers per row, so scatter count dominates
+    # the layout build.
+    NSLOT = R * D * LANES
     zero = jnp.zeros_like(dx_e)
-    nbr_loc = scat2(hi_p % LANES, lo_p % LANES, jnp.int32)
-    # Row offset of the neighbor relative to the own vertex: 0=prev row,
-    # 1=same, 2=next. Dead slots get rowflag 1 with nbr 0 (harmless; has
-    # masks every contribution via sal/sbe/sgn = 0).
+    one = jnp.where(alive, 1.0, 0.0)
+    # Row offset of the neighbor relative to the own vertex: 0..2*reach
+    # (reach = same row). Dead slots get rowflag `reach` with nbr 0
+    # (harmless; every contribution is masked via sal/sbe/sgn = 0).
     rf_s = (hi_p // LANES) - (lo_p // LANES) + reach
     rf_d = (lo_p // LANES) - (hi_p // LANES) + reach
-    rowflag = scat2(rf_s, rf_d, jnp.int32, fill=reach)
-    sdx = scat2(dx_e, dx_e)
-    sdy = scat2(dy_e, dy_e)
-    sal = scat2(alpha_e, alpha_e)
-    sbe = scat2(beta_e, beta_e)
-    sgn = scat2(jnp.where(alive, 1.0, 0.0), jnp.where(alive, -1.0, 0.0))
-    srcf = scat2(jnp.where(alive, 1.0, 0.0), zero)
-    q1 = scat2(g.q1, g.q1)
-    q2 = scat2(g.q2, g.q2)
-    q3 = scat2(g.q3, g.q3)
+
+    ibuf = jnp.zeros((NSLOT + 1, 2), jnp.int32).at[:, 1].set(reach)
+    ibuf = ibuf.at[slot_s].set(
+        jnp.stack([hi_p % LANES, rf_s], axis=1), mode="drop")
+    ibuf = ibuf.at[slot_d].set(
+        jnp.stack([lo_p % LANES, rf_d], axis=1), mode="drop")
+    nbr_loc = ibuf[:-1, 0].reshape(R * D, LANES)
+    rowflag = ibuf[:-1, 1].reshape(R * D, LANES)
+
+    fs = jnp.stack([dx_e, dy_e, alpha_e, beta_e, one, one,
+                    g.q1, g.q2, g.q3], axis=1)  # src: sgn=+1, srcf=1
+    fd = jnp.stack([dx_e, dy_e, alpha_e, beta_e, -one, zero,
+                    g.q1, g.q2, g.q3], axis=1)  # dst: sgn=-1, srcf=0
+    fbuf = jnp.zeros((NSLOT + 1, 9), jnp.float32)
+    fbuf = fbuf.at[slot_s].set(fs, mode="drop")
+    fbuf = fbuf.at[slot_d].set(fd, mode="drop")
+    fld = [fbuf[:-1, k].reshape(R * D, LANES) for k in range(9)]
+    sdx, sdy, sal, sbe, sgn, srcf, q1, q2, q3 = fld
 
     slots = (nbr_loc, rowflag, sdx, sdy, sal, sbe, sgn, srcf, q1, q2, q3)
     src_slot_p = jnp.where(alive, flat_slot(lo_p, sr), sent)
