@@ -58,10 +58,14 @@ def _residual_single(K, Kinv, q_a, t_a, q_o, t_o, u_ref, d, xi_a, xi_o, dd):
 
 
 def residuals_and_jacobians(K, Kinv, q_w, t_w, obs: BAObservations,
-                            lm_idepth, huber_delta: float):
+                            lm_idepth, huber_delta: float, sqrtW=None):
     """Batched residuals + Jacobian blocks + robust weights.
 
     q_w, t_w: (P, 4), (P, 3) window poses. lm_idepth: (L,).
+    sqrtW: optional (M, 2, 2) per-observation residual whitening (e.g.
+    the structure-tensor weights of ba/rematch.observation_weights) —
+    applied to the residual and every Jacobian block so the downstream
+    normal-equation assembly is unchanged.
     Returns (r (M, 2), Ja (M, 2, 6), Jo (M, 2, 6), Jd (M, 2), w (M,)).
     Invalid/behind-camera observations get zero weight.
     """
@@ -76,12 +80,17 @@ def residuals_and_jacobians(K, Kinv, q_w, t_w, obs: BAObservations,
                                 xi_a, xi_o, dd)
         return u - u_obs, z
 
-    def one(a_i, o_i, l_i, u_ref, u_obs, valid):
+    def one(a_i, o_i, l_i, u_ref, u_obs, valid, L2):
         g = lambda xi_a, xi_o, dd: f_full(a_i, o_i, l_i, u_ref, u_obs,
                                           xi_a, xi_o, dd)
         (r, z) = g(zeros6, zeros6, 0.0)
         Ja, Jo, Jd = jax.jacfwd(lambda args: g(*args)[0])(
             (zeros6, zeros6, 0.0))
+        if L2 is not None:
+            r = L2 @ r
+            Ja = L2 @ Ja
+            Jo = L2 @ Jo
+            Jd = L2 @ Jd
         # Robust (Huber) weight on the residual norm.
         rn = jnp.linalg.norm(r)
         w_h = jnp.where(rn <= huber_delta, 1.0,
@@ -90,6 +99,8 @@ def residuals_and_jacobians(K, Kinv, q_w, t_w, obs: BAObservations,
         w = jnp.where(ok, w_h, 0.0)
         return r, Ja, Jo, Jd, w
 
-    r, Ja, Jo, Jd, w = jax.vmap(one)(obs.anchor_idx, obs.obs_idx, obs.lm_idx,
-                                     obs.u_ref, obs.u_obs, obs.valid)
+    in_axes = (0, 0, 0, 0, 0, 0, None if sqrtW is None else 0)
+    r, Ja, Jo, Jd, w = jax.vmap(one, in_axes=in_axes)(
+        obs.anchor_idx, obs.obs_idx, obs.lm_idx,
+        obs.u_ref, obs.u_obs, obs.valid, sqrtW)
     return r, Ja, Jo, Jd, w

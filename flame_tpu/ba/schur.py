@@ -37,10 +37,10 @@ class BAProblem(NamedTuple):
 
 
 def _assemble(K, Kinv, q, t, lm_idepth, obs, huber_delta, n_poses: int,
-              n_lms: int):
+              n_lms: int, sqrtW=None):
     """Normal-equation pieces from all observations (segment sums)."""
     r, Ja, Jo, Jd, w = resid.residuals_and_jacobians(
-        K, Kinv, q, t, obs, lm_idepth, huber_delta)
+        K, Kinv, q, t, obs, lm_idepth, huber_delta, sqrtW=sqrtW)
 
     P, L = n_poses, n_lms
     wr = w[:, None] * r  # (M, 2)
@@ -111,10 +111,12 @@ def _solve_reduced(Hpp, bp, Hll, bl, W, damping, n_fixed, lm_valid):
 
 @functools.partial(jax.jit, static_argnames=("params", "n_fixed"))
 def solve_window(params: BAParams, K, Kinv, problem: BAProblem,
-                 n_fixed: int = 2):
+                 n_fixed: int = 2, sqrtW=None):
     """Run n_gn_iters damped Gauss-Newton iterations on the window.
 
-    Returns (q', t', lm_idepth', final_cost).
+    sqrtW: optional (M, 2, 2) residual whitening (structure-tensor
+    weights; ba/rematch.observation_weights). Returns
+    (q', t', lm_idepth', final_cost).
     """
     P = problem.q.shape[0]
     L = problem.lm_idepth.shape[0]
@@ -125,7 +127,8 @@ def solve_window(params: BAParams, K, Kinv, problem: BAProblem,
     def body(_, state):
         q, t, lm = state
         Hpp, bp, Hll, bl, W, _ = _assemble(
-            K, Kinv, q, t, lm, problem.obs, params.huber_delta, P, L)
+            K, Kinv, q, t, lm, problem.obs, params.huber_delta, P, L,
+            sqrtW=sqrtW)
         if params.pose_prior_weight > 0:
             # Prior residual e = log(T_curr * T_prior^-1) with identity
             # Jacobian under the left perturbation.
@@ -147,7 +150,7 @@ def solve_window(params: BAParams, K, Kinv, problem: BAProblem,
     q, t, lm = jax.lax.fori_loop(0, params.n_gn_iters, body,
                                  (problem.q, problem.t, problem.lm_idepth))
     _, _, _, _, _, cost = _assemble(K, Kinv, q, t, lm, problem.obs,
-                                    params.huber_delta, P, L)
+                                    params.huber_delta, P, L, sqrtW=sqrtW)
     return q, t, lm, cost
 
 

@@ -191,8 +191,35 @@ class BundleAdjuster:
             return False
         problem, order, keys, n_obs = built
 
+        sqrtW = None
+        slot_w = jnp.asarray(
+            [fl._pf_slot_by_id[f] for f in order], jnp.int32)
+        obs = problem.obs
+        if p.do_rematch:
+            # Restore the perpendicular residual component the epipolar
+            # front-end removed (ba/rematch.py).
+            from flame_tpu.ba import rematch
+            u_obs2, _ = rematch.rematch_observations(
+                self.K, self.Kinv, fl._stack.img_pad, fl.params.pad,
+                problem.q, problem.t, obs.anchor_idx, obs.obs_idx,
+                slot_w[obs.anchor_idx], slot_w[obs.obs_idx],
+                obs.u_ref, obs.u_obs, obs.lm_idx, problem.lm_idepth,
+                obs.valid, radius=p.rematch_radius,
+                max_cost=p.rematch_max_cost, min_eig=p.rematch_min_eig)
+            problem = problem._replace(obs=obs._replace(u_obs=u_obs2))
+        if p.aniso_weights:
+            # Whiten residuals by each anchor patch's structure tensor:
+            # an intensity match constrains the reprojection along the
+            # local gradient only; differently-oriented edge features
+            # then combine into full pose constraints instead of their
+            # unconstrained along-edge components polluting the solve.
+            from flame_tpu.ba import rematch
+            sqrtW = rematch.observation_weights(
+                fl._stack.img_pad, fl.params.pad, slot_w[obs.anchor_idx],
+                obs.u_ref)
+
         q, t, lm, cost = schur.solve_window(p, self.K, self.Kinv, problem,
-                                            n_fixed=n_fixed)
+                                            n_fixed=n_fixed, sqrtW=sqrtW)
         self.last_cost = float(cost)
         mean_cost = self.last_cost / max(n_obs, 1)
         self.last_accepted = np.isfinite(mean_cost) and \

@@ -160,6 +160,26 @@ class BAParams:
     # (m|rad)^2): BA refines within the external estimator's uncertainty
     # instead of free-floating on match noise. 0 disables.
     pose_prior_weight: float = 1e4
+    # Unconstrained 2-D re-matching of observations before each solve
+    # (ba/rematch.py): epipolar-constrained front-end matches have zero
+    # residual perpendicular to the (noisy-pose) epiline by construction,
+    # leaving BA nearly blind to pose error. Radius in px; max_cost gates
+    # acceptance (SSD over the 5x5 patch, line_stereo-scaled).
+    do_rematch: bool = True
+    rematch_radius: int = 3
+    rematch_max_cost: float = 6500.0
+    # KLT corner gate: min eigenvalue of the anchor patch's gradient
+    # structure tensor required to trust a 2-D match (aperture problem —
+    # edge-like patches keep their epipolar match).
+    rematch_min_eig: float = 625.0
+    # Whiten residuals/Jacobians by each anchor patch's structure tensor
+    # (ba/rematch.observation_weights): edge features contribute only
+    # their gradient-direction constraint. Off by default: for epipolar-
+    # matched observations the perpendicular component acts as a
+    # stabilizing pseudo-prior toward the input poses, and dropping it
+    # measured WORSE on edge-dominated scenes (14-16 vs 6-10 mm ATE);
+    # enable for corner-rich imagery with 2-D re-matching.
+    aniso_weights: bool = False
 
 
 @dataclass(frozen=True)
