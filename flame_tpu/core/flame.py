@@ -215,11 +215,18 @@ class Flame:
         self.stats.tick("update")
 
         q, t = pose
-        q_np = np.asarray(q, np.float64)
-        t_np = np.asarray(t, np.float64)
-        if is_poseframe is None:
-            is_poseframe = p.auto_poseframe and self._want_poseframe(
-                q_np, t_np)
+        # Host copies of the pose are needed only by the automatic
+        # poseframe selector. When the caller passes DEVICE arrays,
+        # np.asarray here is a blocking device->host round trip that also
+        # drains the whole device queue (~2x 25 ms/frame through the
+        # tunnel) — so take it only on the paths that need it.
+        q_np = t_np = None
+        if is_poseframe is None and p.auto_poseframe:
+            q_np = np.asarray(q, np.float64)
+            t_np = np.asarray(t, np.float64)
+            is_poseframe = self._want_poseframe(q_np, t_np)
+        elif is_poseframe is None:
+            is_poseframe = False
         q = jnp.asarray(q, jnp.float32)
         t = jnp.asarray(t, jnp.float32)
 
@@ -229,11 +236,17 @@ class Flame:
         self.stats.tock("frame_creation")
 
         if is_poseframe:
+            self.stats.tick("pf_insert")
             slot = self._alloc_pf_slot(frame_id)
             self._stack = frame_mod.insert(self._stack, slot, self._fnew)
             self._pf_slot_by_id[frame_id] = slot
             self._curr_pf_slot = slot
-            self._curr_pf_pose_np = (q_np, t_np)
+            if p.auto_poseframe:
+                if q_np is None:
+                    q_np = np.asarray(q, np.float64)
+                    t_np = np.asarray(t, np.float64)
+                self._curr_pf_pose_np = (q_np, t_np)
+            self.stats.tock("pf_insert")
 
         self.num_imgs += 1
         if self.num_imgs < 2 or self._curr_pf_slot is None:
@@ -374,8 +387,10 @@ class Flame:
             self.stats.tock("sync_graph")
 
         if is_poseframe:
+            self.stats.tick("pf_set_idepthmap")
             self._stack = frame_mod.set_idepthmap(
                 self._stack, self._curr_pf_slot, self._idepthmap)
+            self.stats.tock("pf_set_idepthmap")
             if self._ba is not None:
                 self.stats.tick("ba")
                 self._ba.ingest(self, track_obs, frame_id)
@@ -542,7 +557,10 @@ class Flame:
         if tri_result is None:  # too few members to triangulate
             return
         buf, n_tris, tris_slots, edges_sorted, n_edges = tri_result
-        self._staged_tris = (jnp.asarray(buf), n_tris, tris_slots,
+        self.stats.tick("topo_upload")
+        buf_dev = jnp.asarray(buf)
+        self.stats.tock("topo_upload")
+        self._staged_tris = (buf_dev, n_tris, tris_slots,
                              edges_sorted, n_edges)
         self._staged_frame = frame if frame is not None else self.num_imgs
 
