@@ -79,36 +79,39 @@ def main():
     fl = Flame(W, H, K, Kinv, params)
 
     # Pre-render frames so host rendering is off the clock.
-    n_warm, n_meas = 8, 24
+    n_warm = 8
+    n_windows, win_len = 7, 8
+    n_meas = n_windows * win_len
     frames = [render(0.08 * i) for i in range(n_warm + n_meas)]
 
     def pose(i):
         return (se3.quat_identity(), jnp.array([0.08 * i, 0.0, 0.0]))
 
-    # Double-buffered input: frame i+1 uploads while frame i is processed
-    # (a live camera pipeline does exactly this; the reference's update()
-    # likewise receives an image already in memory, flame.h:145-147).
-    # Through the tunneled device the 307 KB VGA upload otherwise sits on
-    # the critical path.
-    img_dev = jnp.asarray(frames[0])
+    # Host (numpy uint8) images, like a real camera delivers: Flame's
+    # coalesced-upload path then ships each image and the frame's staged
+    # topology words as ONE host->device transfer (the tunneled device
+    # charges per transfer, not per byte — see solver.coalesce_uploads).
     for i in range(n_warm):
-        nxt = jnp.asarray(frames[i + 1])
-        fl.update(i * 0.1, i, pose(i), img_dev, i % 2 == 0)
-        img_dev = nxt
+        fl.update(i * 0.1, i, pose(i), frames[i], i % 2 == 0)
 
-    t0 = time.perf_counter()
-    for i in range(n_warm, n_warm + n_meas):
-        if i + 1 < n_warm + n_meas:
-            nxt = jnp.asarray(frames[i + 1])
-        fl.update(i * 0.1, i, pose(i), img_dev, i % 2 == 0)
-        img_dev = nxt
-    # Real fetch: on the tunneled device block_until_ready returns at
-    # RPC-accept, NOT completion — only a device->host read drains the
-    # pipeline (NOTES.md timing trap).
-    np.asarray(fl._idepthmap)
-    dt = time.perf_counter() - t0
+    # Measure in windows, each ending with a REAL device drain (on the
+    # tunneled device block_until_ready returns at RPC-accept, NOT
+    # completion — only a device->host read proves the work is done,
+    # NOTES.md timing trap). The median window is the sustained rate:
+    # the shared tunnel stalls for seconds at a time independently of
+    # the workload, and a single-window measurement is hostage to it.
+    win_fps = []
+    k = 0
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        for j in range(win_len):
+            i = n_warm + k
+            fl.update(i * 0.1, i, pose(i), frames[i], i % 2 == 0)
+            k += 1
+        np.asarray(fl._idepthmap[0, 0])  # drain: device + transfer queue
+        win_fps.append(win_len / (time.perf_counter() - t0))
 
-    fps = n_meas / dt
+    fps = float(np.median(win_fps))
     cov = float(np.mean(~np.isnan(fl.get_inverse_depth_map())))
     idm = fl.get_inverse_depth_map()
     err = np.abs(idm[~np.isnan(idm)] - 1.0 / PLANE_Z) * PLANE_Z
@@ -132,6 +135,7 @@ def main():
         iters_per_sec = K_IT / (time.perf_counter() - t0)
 
         extra = {
+            "win_fps": [round(f, 1) for f in win_fps],
             "coverage": round(cov, 3),
             "median_rel_depth_err": round(float(np.median(err)), 4),
             "n_feats": int(np.asarray(fl._feats.valid).sum()),

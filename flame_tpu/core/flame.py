@@ -160,6 +160,13 @@ class Flame:
         self._edges_np = np.zeros((E, 2), np.int64)
         self._n_edges = 0
         self._n_tris = 0
+        # Coalesced-upload state: a freshly triangulated topology buffer
+        # (host u16) waits here to ride the NEXT frame's image upload as
+        # one combined transfer (solver.coalesce_uploads).
+        self._pending_topo = None
+        self._staged_offset = 0  # u8 byte offset of topo words in buf_dev
+        self._topo_words = 2 + 3 * T + 2 * E + \
+            (N if self._smoother_mode == "pallas" else 0)
 
         # Host bookkeeping. Mirrors avoid per-frame blocking device reads
         # (each one costs a full round trip through the device tunnel).
@@ -170,6 +177,7 @@ class Flame:
         self._coverage = None  # device scalar, fetched lazily
         self._pf_slot_by_id: Dict[int, int] = {}
         self._curr_pf_slot: Optional[int] = None
+        self._curr_pf_id: Optional[int] = None
         self._curr_pf_pose_np = None  # host copy for auto-poseframe scoring
         self._fnew = None
         self._fprev = None
@@ -232,7 +240,36 @@ class Flame:
 
         self.stats.tick("frame_creation")
         self._fprev = self._fnew
-        self._fnew = frame_mod.create(frame_id, q, t, jnp.asarray(img), p.pad)
+        self._coalesce = (p.solver.coalesce_uploads
+                          and p.solver.async_topology
+                          and isinstance(img, np.ndarray)
+                          and img.dtype == np.uint8)
+        if self._coalesce:
+            # ONE host->device transfer for this frame: image bytes, plus
+            # the pending topology words if a new triangulation landed
+            # last frame (the tunneled device charges per transfer, not
+            # per byte). The split back happens on device inside the
+            # consuming jits (frame.create_from_buf / post_delaunay_step).
+            hw = self.height * self.width
+            if self._pending_topo is not None:
+                (tbuf, n_tris, tris_np, edges_np,
+                 n_edges) = self._pending_topo
+                self._pending_topo = None
+                up = np.empty(hw + 2 * self._topo_words, np.uint8)
+                up[:hw] = img.reshape(-1)
+                up[hw:] = tbuf.view(np.uint8)
+                buf_dev = jnp.asarray(up)
+                self._staged_tris = (buf_dev, n_tris, tris_np, edges_np,
+                                     n_edges)
+                self._staged_offset = hw
+                self._staged_frame = self.num_imgs
+            else:
+                buf_dev = jnp.asarray(img.reshape(-1))
+            self._fnew = frame_mod.create_from_buf(
+                frame_id, q, t, buf_dev, self.height, self.width, p.pad)
+        else:
+            self._fnew = frame_mod.create(frame_id, q, t, jnp.asarray(img),
+                                          p.pad)
         self.stats.tock("frame_creation")
 
         if is_poseframe:
@@ -241,6 +278,7 @@ class Flame:
             self._stack = frame_mod.insert(self._stack, slot, self._fnew)
             self._pf_slot_by_id[frame_id] = slot
             self._curr_pf_slot = slot
+            self._curr_pf_id = frame_id
             if p.auto_poseframe:
                 if q_np is None:
                     q_np = np.asarray(q, np.float64)
@@ -557,11 +595,17 @@ class Flame:
         if tri_result is None:  # too few members to triangulate
             return
         buf, n_tris, tris_slots, edges_sorted, n_edges = tri_result
+        if getattr(self, "_coalesce", False):
+            # Stash host-side; the words ride the next frame's image
+            # upload (one transfer) and stage there.
+            self._pending_topo = tri_result
+            return
         self.stats.tick("topo_upload")
         buf_dev = jnp.asarray(buf)
         self.stats.tock("topo_upload")
         self._staged_tris = (buf_dev, n_tris, tris_slots,
                              edges_sorted, n_edges)
+        self._staged_offset = 0
         self._staged_frame = frame if frame is not None else self.num_imgs
 
     def _run_post_delaunay(self, member, curr, topo_buf, n_tris: int):
@@ -576,7 +620,7 @@ class Flame:
             (fprev.q, fprev.t), (self._fnew.q, self._fnew.t),
             self._graph_scale_dev, self.width, self.height,
             self._idepthmap if p.init_with_prediction else None,
-            topo_buf=topo_buf)
+            topo_buf=topo_buf, topo_offset=self._staged_offset)
         # Triangle array + mask are derived lazily by the output getters
         # from the host copy (off the per-frame path).
         self._tris_staged = (self._tris_np, n_tris)
@@ -610,8 +654,11 @@ class Flame:
             return self._pf_free.pop()
         # Auto-evict the oldest poseframe (the external BA layer normally
         # prunes; the reference relies on prunePoseFrames, flame.cc:554-706).
+        # defer_mirror: the validity mirror refreshes with the next packed
+        # transfer anyway; a blocking fetch here drains the whole device
+        # queue (measured 250 ms/poseframe through the tunnel).
         live = sorted(self._pf_slot_by_id.keys())
-        self.prune_poseframes(live[1:])
+        self.prune_poseframes(live[1:], defer_mirror=True)
         return self._pf_free.pop()
 
     def coverage(self) -> float:
@@ -648,38 +695,40 @@ class Flame:
                     self._stack, slot, jnp.asarray(q, jnp.float32),
                     jnp.asarray(t, jnp.float32))
 
-    def prune_poseframes(self, keep_ids):
+    def prune_poseframes(self, keep_ids, defer_mirror: bool = False):
         """Drop all poseframes not in keep_ids, re-anchoring their features
-        onto the newest survivor (reference flame.cc:554-706)."""
+        onto the newest survivor (reference flame.cc:554-706). Pure host
+        bookkeeping (_pf_slot_by_id mirrors the device stack) plus one
+        re-anchoring dispatch — no device fetch unless defer_mirror is
+        False (external callers get an immediately consistent validity
+        mirror; the internal auto-evict path defers to the next packed
+        transfer)."""
         keep = set(int(i) for i in keep_ids)
-        valid = np.asarray(self._stack.valid)
-        ids = np.asarray(self._stack.frame_id)
-        curr_id = ids[self._curr_pf_slot] if self._curr_pf_slot is not None \
-            else None
-        if curr_id is not None and int(curr_id) not in keep:
+        if self._curr_pf_id is not None and self._curr_pf_id not in keep:
             if not self.params.debug_quiet:
                 print("flame_tpu: current poseframe not in keep list")
             return
 
-        kill_slots = [s for s in np.nonzero(valid)[0]
-                      if int(ids[s]) not in keep]
-        if not kill_slots:
+        kill = {fid: slot for fid, slot in self._pf_slot_by_id.items()
+                if fid not in keep}
+        if not kill:
             return
-        surv = [s for s in np.nonzero(valid)[0] if int(ids[s]) in keep]
+        surv = [fid for fid in self._pf_slot_by_id if fid in keep]
         if not surv:
             self.clear()
-            for s in kill_slots:
+            for fid, s in kill.items():
                 self._stack = frame_mod.remove(self._stack, s)
-                self._pf_slot_by_id.pop(int(ids[s]), None)
+                self._pf_slot_by_id.pop(fid, None)
                 self._pf_free.append(int(s))
             self._curr_pf_slot = None
+            self._curr_pf_id = None
             return
         # Newest survivor (reference uses crbegin = highest id,
         # flame.cc:607).
-        target = int(max(surv, key=lambda s: ids[s]))
+        target = self._pf_slot_by_id[max(surv)]
 
-        kill_mask = np.zeros(valid.shape[0], bool)
-        for s in kill_slots:
+        kill_mask = np.zeros(self.params.poseframe_capacity, bool)
+        for s in kill.values():
             kill_mask[s] = True
         b = self.params.border
         self._feats = pipeline.reanchor_features(
@@ -687,13 +736,14 @@ class Flame:
             jnp.asarray(kill_mask), target, float(b),
             float(self.width - b), float(self.height - b))
         if self._ba is not None:
-            self._ba.store.drop_frames(int(ids[s]) for s in kill_slots)
-        for s in kill_slots:
+            self._ba.store.drop_frames(kill.keys())
+        for fid, s in kill.items():
             self._stack = frame_mod.remove(self._stack, s)
-            self._pf_slot_by_id.pop(int(ids[s]), None)
+            self._pf_slot_by_id.pop(fid, None)
             self._pf_free.append(int(s))
-        # Re-anchoring may have invalidated features; refresh the mirror.
-        self._refresh_feat_mirror()
+        if not defer_mirror:
+            # Re-anchoring may have invalidated features; refresh now.
+            self._refresh_feat_mirror()
 
     def clear(self):
         """Reset features/graph/mesh; poseframes survive (reference
@@ -713,6 +763,8 @@ class Flame:
         self._staged_tris = None
         self._tri_pending = None
         self._staged_frame = None
+        self._pending_topo = None
+        self._staged_offset = 0
         self._packed_queue.clear()
         self._feat_valid_np = np.zeros(p.feature_capacity, bool)
         self._n_valid = 0

@@ -45,6 +45,17 @@ def create(frame_id, q, t, img, pad: int) -> Frame:
                  img=f, img_pad=img_pad, gradx=gx, grady=gy)
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "pad"))
+def create_from_buf(frame_id, q, t, buf, height: int, width: int,
+                    pad: int) -> Frame:
+    """create() from the leading height*width uint8 bytes of a coalesced
+    upload buffer (see core/flame.py: the tunneled device charges per
+    TRANSFER, not per byte, so the image and the frame's topology ride one
+    upload; the split happens on device inside this jit)."""
+    img = buf[: height * width].reshape(height, width)
+    return create.__wrapped__(frame_id, q, t, img, pad)
+
+
 class FrameStack(NamedTuple):
     """Fixed-capacity poseframe table [F]."""
 
@@ -71,11 +82,15 @@ def empty_stack(capacity: int, height: int, width: int, pad: int) -> FrameStack:
         valid=jnp.zeros((F,), bool))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def insert(stack: FrameStack, slot, frame: Frame) -> FrameStack:
-    """Write a frame into a poseframe slot. The stack argument is donated:
-    the ~100 MB of per-slot image/gradient planes update in place instead
-    of copying the whole stack every poseframe."""
+    """Write a frame into a poseframe slot.
+
+    NOT donated: donating the ~100 MB stack makes the (remote) dispatch
+    wait until every in-flight computation referencing the old stack
+    retires — measured 127 ms host blocks per poseframe through the
+    tunnel once the pipeline runs deep. The full-stack device copy is
+    ~0.1 ms of HBM traffic instead."""
     slot = jnp.asarray(slot, jnp.int32)
     H, W = stack.gradx.shape[1:]
     return stack._replace(
@@ -89,8 +104,9 @@ def insert(stack: FrameStack, slot, frame: Frame) -> FrameStack:
         valid=stack.valid.at[slot].set(True))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def set_idepthmap(stack: FrameStack, slot, idepthmap) -> FrameStack:
+    # Not donated — same tunnel-dispatch stall as insert().
     return stack._replace(idepthmap=stack.idepthmap.at[slot].set(idepthmap))
 
 

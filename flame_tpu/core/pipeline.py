@@ -504,14 +504,15 @@ def resolve_smoother(params: Params, v_cap: int) -> str:
     return mode
 
 
-@functools.partial(jax.jit, static_argnames=("params", "width", "height"))
+@functools.partial(jax.jit, static_argnames=("params", "width", "height",
+                                             "topo_offset"))
 def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
                        member, curr: CurrFeatures,
                        pose_prev, pose_new, graph_scale,
                        width: int, height: int,
                        prev_idepthmap=None, topo_buf=None,
                        tris=None, n_tris=None, edges=None, n_edges=None,
-                       edge_ranks=None):
+                       edge_ranks=None, topo_offset: int = 0):
     """Everything between host Delaunay and the next frame, fused into ONE
     dispatch: prev->new epipolar geometry, device-side edge topology + dual
     carry (from the uploaded triangle array alone), graph synchronization,
@@ -536,6 +537,12 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
     smoother = resolve_smoother(params, V)
 
     perm = None
+    if topo_buf is not None and topo_buf.dtype == jnp.uint8:
+        # Coalesced upload: the u16 topology words ride behind the frame's
+        # image bytes in one transfer (the tunneled device charges per
+        # transfer, not per byte); split + bitcast on device.
+        topo_buf = jax.lax.bitcast_convert_type(
+            topo_buf[topo_offset:].reshape(-1, 2), jnp.uint16)
     if topo_buf is not None:
         T = params.triangle_capacity
         assert E == params.edge_capacity

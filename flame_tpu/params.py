@@ -143,6 +143,14 @@ class SolverParams:
     # Backstop: block for the head transfer when the newest staged
     # topology is older than this many frames.
     max_topology_staleness: int = 5
+    # Coalesce host->device uploads: when update() receives a HOST
+    # (numpy uint8) image under async_topology, the freshly triangulated
+    # topology words ride the next frame's image upload as one combined
+    # u8 buffer, split on device. The tunneled device charges per
+    # TRANSFER, not per byte (8 KB and 614 KB uploads both cost ~30-45 ms
+    # round trip), so halving the upload count is worth the one extra
+    # frame of (masked-inert) topology staleness.
+    coalesce_uploads: bool = True
 
 
 @dataclass(frozen=True)

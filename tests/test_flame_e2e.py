@@ -255,3 +255,41 @@ def test_auto_poseframe_selection():
     assert 3 <= n_pf <= 7, n_pf
     idm = fl.get_inverse_depth_map()
     assert np.mean(~np.isnan(idm)) > 0.3
+
+
+def test_coalesced_uploads_match_separate():
+    """solver.coalesce_uploads (topology words riding the image upload as
+    one combined u8 buffer, split on device) must produce the same maps as
+    separate uploads, modulo its one extra frame of topology lag."""
+    from flame_tpu.params import SolverParams
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+    Kinv = camera.inv_k(K)
+
+    def run(coalesce):
+        params = make_params().replace(
+            solver=SolverParams(n_iters_per_frame=30, max_vertex_degree=16,
+                                async_topology=True,
+                                coalesce_uploads=coalesce))
+        fl = Flame(W, H, K, Kinv, params)
+        for i in range(14):
+            cam_x = 0.15 * i
+            pose = (se3.quat_identity(), jnp.array([cam_x, 0.0, 0.0]))
+            img = np.clip(render(cam_x), 0, 255).astype(np.uint8)
+            fl.update(i * 0.1, i, pose, img, i % 2 == 0)
+        return fl
+
+    fl_c = run(True)
+    fl_s = run(False)
+    assert fl_c._coalesce  # the path actually engaged
+    idm_c = fl_c.get_inverse_depth_map()
+    idm_s = fl_s.get_inverse_depth_map()
+    for idm in (idm_c, idm_s):
+        cov = np.mean(~np.isnan(idm))
+        assert cov > 0.25, cov
+        err = np.abs(idm[~np.isnan(idm)] - TRUE_IDEPTH) / TRUE_IDEPTH
+        assert np.median(err) < 0.12, np.median(err)
+    both = ~np.isnan(idm_c) & ~np.isnan(idm_s)
+    assert both.mean() > 0.2
+    # Same features, same filters; only topology freshness differs.
+    diff = np.abs(idm_c[both] - idm_s[both]) / TRUE_IDEPTH
+    assert np.median(diff) < 0.05, np.median(diff)
