@@ -231,6 +231,245 @@ def bench_track():
     print(f"track/track_project_sync   {timeit(run)*1e3:8.2f} ms")
 
 
+def bench_trackparts():
+    """Stage breakdown inside track_project_sync (each stage jitted alone;
+    sums slightly above the fused step because fusion is lost)."""
+    import functools
+    import __graft_entry__ as ge
+    from flame_tpu.core import pipeline
+    from flame_tpu.geometry import epipolar, se3
+    from flame_tpu.stereo import filter as idfilter, line_stereo, meas_model
+    from flame_tpu.params import Params, SolverParams
+
+    params = Params(feature_capacity=4096, edge_capacity=16384,
+                    triangle_capacity=12288, poseframe_capacity=16,
+                    min_height=-1e6, max_height=1e6,
+                    solver=SolverParams(max_vertex_degree=16))
+    H, W = 480, 640
+    K, Kinv, stack, feats, fnew, _ = ge._synthetic_state(
+        params, H, W, n_feat_used=2700)
+    fp = params.fparams
+    pad = (fnew.img_pad.shape[0] - H) // 2
+    n_steps = line_stereo.n_steps_for(fp.epilength_max)
+
+    geos_fn = jax.jit(lambda: pipeline._feature_geos(
+        K, Kinv, stack, feats, fnew.q, fnew.t))
+    geos = geos_fn()
+
+    def t(name, fn, fetch):
+        f = jax.jit(fn)
+        def run():
+            np.asarray(fetch(f()))
+        print(f"trackparts/{name:16s} {timeit(run)*1e3:8.2f} ms")
+
+    t("geos", lambda: pipeline._feature_geos(
+        K, Kinv, stack, feats, fnew.q, fnew.t),
+      lambda o: o.KRKinv[0, 0, 0])
+    t("predict", lambda: jax.vmap(
+        idfilter.predict, in_axes=(0, None, 0, 0, 0))(
+            geos, fp.process_var_factor, feats.xy, feats.idepth_mu,
+            feats.idepth_var), lambda o: o[1][0, 0])
+    t("search_region", lambda: jax.vmap(
+        functools.partial(idfilter.get_search_region, fp),
+        in_axes=(0, None, None, 0, 0, 0))(
+            geos, W, H, feats.xy, feats.idepth_mu, feats.idepth_var),
+      lambda o: o.start[0, 0])
+    reg = jax.jit(lambda: jax.vmap(
+        functools.partial(idfilter.get_search_region, fp),
+        in_axes=(0, None, None, 0, 0, 0))(
+            geos, W, H, feats.xy, feats.idepth_mu, feats.idepth_var))()
+    off = jnp.float32(pad)
+    t("search_stacked", lambda: idfilter.search_stacked(
+        fp, geos, jnp.ones_like(feats.idepth_mu), stack.img_pad,
+        feats.pf_slot, fnew.img_pad, feats.xy, feats.xy + off,
+        reg.start + off, reg.end + off, n_steps),
+      lambda o: o.u_cmp[0, 0])
+    t("meas_model", lambda: jax.vmap(
+        functools.partial(meas_model.idepth_measurement, params.zparams),
+        in_axes=(0, None, None, 0, 0))(
+            geos, fnew.gradx, fnew.grady, feats.xy, feats.xy),
+      lambda o: o[1][0])
+    t("project", lambda: jax.vmap(epipolar.project_idepth)(
+        geos, feats.xy, feats.idepth_mu), lambda o: o[0][0, 0])
+
+
+def bench_trackchain():
+    """track_project_sync cost from a chain of R dependent dispatches
+    (amortizes the +-5 ms RTT noise of single-dispatch timings)."""
+    import __graft_entry__ as ge
+    from flame_tpu.core import pipeline
+    from flame_tpu.params import Params, SolverParams
+
+    params = Params(feature_capacity=4096, edge_capacity=16384,
+                    triangle_capacity=12288, poseframe_capacity=16,
+                    min_height=-1e6, max_height=1e6,
+                    solver=SolverParams(max_vertex_degree=16))
+    H, W = 480, 640
+    K, Kinv, stack, feats, fnew, _ = ge._synthetic_state(
+        params, H, W, n_feat_used=2700)
+    R = 8
+
+    def run():
+        f = feats
+        for _ in range(R):
+            f = pipeline.track_project_sync(params, K, Kinv, stack, f,
+                                            fnew, 0)[0]
+        np.asarray(f.idepth_mu[0])
+    print(f"trackchain/step            {timeit(run, inner=R)*1e3:8.2f} ms"
+          f" (chain of {R})")
+
+
+def bench_postprod(g, tris_np, edges_np, n_e, n_used):
+    """post_delaunay_step through the PRODUCTION path: packed u16 topo_buf
+    (as _host_triangulate builds it) + pallas smoother."""
+    from flame_tpu.params import Params, SolverParams
+    from flame_tpu.core import pipeline
+    from flame_tpu.geometry import se3
+    from flame_tpu.optimize import pallas_smoother as ps
+    from flame_tpu.optimize import topology
+
+    V, E = g.x.shape[0], 12288
+    T_cap = 8192
+    params = Params(feature_capacity=V, edge_capacity=E,
+                    triangle_capacity=T_cap, poseframe_capacity=16,
+                    min_height=-1e6, max_height=1e6,
+                    solver=SolverParams(max_vertex_degree=16,
+                                        smoother="pallas"))
+    H, W = 480, 640
+    K = jnp.asarray([[525., 0, 320], [0, 525., 240], [0, 0, 1]], jnp.float32)
+    Kinv = jnp.linalg.inv(K)
+
+    # Build the packed u16 buffer exactly like flame._host_triangulate.
+    tris_slots = tris_np.astype(np.int64)
+    a = tris_slots.reshape(-1)
+    b = tris_slots[:, [1, 2, 0]].reshape(-1)
+    dcode = np.minimum(a, b) * V + np.maximum(a, b)
+    dorder = np.argsort(dcode, kind="stable")
+    dsorted = dcode[dorder]
+    first = np.ones(dsorted.shape[0], bool)
+    first[1:] = dsorted[1:] != dsorted[:-1]
+    edge_src = dorder[first][:E]
+    ucodes = dsorted[first][: edge_src.shape[0]]
+    edges_sorted = np.stack([ucodes // V, ucodes % V], axis=1)
+    n_edges = edges_sorted.shape[0]
+    member = np.zeros(V, bool)
+    member[:n_used] = True
+    perm = ps.rcm_order(edges_sorted, n_edges, V, member)
+    inv = np.empty(V, np.int32)
+    inv[perm] = np.arange(V, dtype=np.int32)
+    ranks = ps.perm_edge_ranks(edges_sorted, n_edges, inv, E,
+                               params.solver.max_vertex_degree,
+                               params.solver.pallas_reach)
+    rk = (np.minimum(ranks[:, 0], 255).astype(np.uint16)
+          | (np.minimum(ranks[:, 1], 255).astype(np.uint16) << 8))
+    buf = np.zeros(2 + 3 * T_cap + 2 * E + V, np.uint16)
+    buf[0] = min(tris_np.shape[0], T_cap)
+    buf[1] = n_edges
+    nt = min(tris_np.shape[0], T_cap)
+    buf[2: 2 + 3 * nt] = tris_slots[:nt].reshape(-1)
+    buf[2 + 3 * T_cap: 2 + 3 * T_cap + n_edges] = edge_src
+    buf[2 + 3 * T_cap + E: 2 + 3 * T_cap + E + n_edges] = rk[:n_edges]
+    buf[2 + 3 * T_cap + 2 * E:] = perm.astype(np.uint16)
+    buf_d = jnp.asarray(buf)
+
+    curr = pipeline.CurrFeatures(
+        xy=g.pos, idepth=g.data_term, var=jnp.full((V,), 1e-3),
+        valid=g.vtx_mask)
+    pose_prev = (se3.quat_identity(), jnp.zeros(3))
+    pose_new = (se3.quat_identity(), jnp.array([0.08, 0.0, 0.0]))
+    gg = g._replace(q1=jnp.zeros(E), q2=jnp.zeros(E), q3=jnp.zeros(E),
+                    alpha=jnp.zeros(E), beta=jnp.zeros(E),
+                    edges=jnp.zeros((E, 2), jnp.int32),
+                    edge_mask=jnp.zeros(E, bool))
+
+    import dataclasses
+    R = 6
+    for n_it in (0, 40):
+        pit = dataclasses.replace(
+            params, solver=dataclasses.replace(
+                params.solver, n_iters_per_frame=n_it))
+
+        def run(pit=pit):
+            gr = gg
+            for _ in range(R):
+                outs = pipeline.post_delaunay_step(
+                    pit, K, Kinv, gr, g.vtx_mask, curr, pose_prev,
+                    pose_new, jnp.float32(1.0), W, H, None,
+                    topo_buf=buf_d)
+                gr = outs[0]
+            np.asarray(outs[4][0, 0])
+        print(f"postprod/pallas            "
+              f"{timeit(run, inner=R)*1e3:8.2f} ms "
+              f"(incl. {n_it} smooth iters, chain of {R})")
+
+
+def bench_postparts(g, tris_np, edges_np, n_e, n_used):
+    """Chained breakdown of post_delaunay_step's non-smoothing cost:
+    topo decode + from_edges, mesh_outputs, rasterize."""
+    from flame_tpu.params import Params, SolverParams
+    from flame_tpu.core import pipeline
+    from flame_tpu.optimize import topology
+    from flame_tpu.mesh import filters as mesh_filters
+    from flame_tpu.ops import rasterize as raster
+
+    V, E = g.x.shape[0], 12288
+    T_cap = 8192
+    params = Params(feature_capacity=V, edge_capacity=E,
+                    triangle_capacity=T_cap, poseframe_capacity=16,
+                    min_height=-1e6, max_height=1e6,
+                    solver=SolverParams(max_vertex_degree=16))
+    H, W = 480, 640
+    K = jnp.asarray([[525., 0, 320], [0, 525., 240], [0, 0, 1]], jnp.float32)
+    Kinv = jnp.linalg.inv(K)
+
+    tris = np.zeros((T_cap, 3), np.int32)
+    nt = min(tris_np.shape[0], T_cap)
+    tris[:nt] = tris_np[:nt]
+    tris_d = jnp.asarray(tris)
+    tmask = np.zeros(T_cap, bool)
+    tmask[:nt] = True
+    tmask_d = jnp.asarray(tmask)
+    edges_full = np.zeros((E, 2), np.int64)
+    ne = min(n_e, E)
+    edges_full[:ne] = edges_np[:ne]
+    edges_d = jnp.asarray(edges_full.astype(np.int16))
+    scale = jnp.float32(1.0)
+    R = 8
+
+    def chain(name, f, fetch):
+        jf = jax.jit(f)
+        def run():
+            for _ in range(R):
+                out = jf()
+            np.asarray(fetch(out))
+        print(f"postparts/{name:16s} {timeit(run, inner=R)*1e3:8.2f} ms")
+
+    D = params.solver.max_vertex_degree
+    chain("from_edges(pallas)", lambda: topology.from_edges(
+        edges_d, jnp.int32(ne), g.pos, g.edges, g.edge_mask,
+        g.q1, g.q2, g.q3, E, V, D, build_incidence=False),
+        lambda o: o.alpha[0])
+    chain("from_edges(vertex)", lambda: topology.from_edges(
+        edges_d, jnp.int32(ne), g.pos, g.edges, g.edge_mask,
+        g.q1, g.q2, g.q3, E, V, D, build_incidence=True),
+        lambda o: o.alpha[0])
+    vi = jnp.where(g.vtx_mask, g.x, 0.0)
+    chain("mesh_outputs", lambda: pipeline.mesh_outputs(
+        params, K, Kinv, W, H, g, tris_d, tmask_d, scale),
+        lambda o: o[-1][0, 0])
+    chain("rasterize", lambda: raster.rasterize(
+        g.pos, tris_d, vi, tmask_d, H, W), lambda o: o[0, 0])
+    geom = mesh_filters.corner_geometry(Kinv, g.pos, vi, tris_d)
+    chain("normals", lambda: mesh_filters.vertex_normals(
+        Kinv, g.pos, vi, tris_d, tmask_d,
+        mesh_filters.corner_geometry(Kinv, g.pos, vi, tris_d)),
+        lambda o: o[0, 0])
+    chain("tri_filters", lambda: mesh_filters.apply_filters(
+        params.tri_filter, Kinv, W, g.pos, vi, tris_d, tmask_d,
+        mesh_filters.corner_geometry(Kinv, g.pos, vi, tris_d)),
+        lambda o: o[0])
+
+
 def bench_post(g, tris_np, edges_np, n_e, n_used):
     from flame_tpu.params import Params, SolverParams
     from flame_tpu.core import pipeline
@@ -298,6 +537,14 @@ def main():
         bench_track()
     if which & {"all", "post"}:
         bench_post(g, tris_np, edges_np, n_e, n_used)
+    if which & {"all", "trackparts"}:
+        bench_trackparts()
+    if which & {"all", "trackchain"}:
+        bench_trackchain()
+    if which & {"all", "postprod"}:
+        bench_postprod(g, tris_np, edges_np, n_e, n_used)
+    if which & {"all", "postparts"}:
+        bench_postparts(g, tris_np, edges_np, n_e, n_used)
 
 
 if __name__ == "__main__":
