@@ -165,7 +165,11 @@ class Flame:
         # one combined transfer (solver.coalesce_uploads).
         self._pending_topo = None
         self._staged_offset = 0  # u8 byte offset of topo words in buf_dev
-        self._topo_words = 2 + 3 * T + 2 * E + \
+        self._staged_fresh = False  # topo applied for the first time?
+        # u16 layout: [n_tris, n_edges | tris | edge_src | ranks | carry
+        # | perm (pallas)] — shared with _host_triangulate, _fill_carry
+        # and pipeline.post_delaunay_step; change all together.
+        self._topo_words = 2 + 3 * T + 3 * E + \
             (N if self._smoother_mode == "pallas" else 0)
 
         # Host bookkeeping. Mirrors avoid per-frame blocking device reads
@@ -255,6 +259,7 @@ class Flame:
                 (tbuf, n_tris, tris_np, edges_np,
                  n_edges) = self._pending_topo
                 self._pending_topo = None
+                self._fill_carry(tbuf, edges_np, n_edges)
                 up = np.empty(hw + 2 * self._topo_words, np.uint8)
                 up[:hw] = img.reshape(-1)
                 up[hw:] = tbuf.view(np.uint8)
@@ -262,6 +267,7 @@ class Flame:
                 self._staged_tris = (buf_dev, n_tris, tris_np, edges_np,
                                      n_edges)
                 self._staged_offset = hw
+                self._staged_fresh = True
                 self._staged_frame = self.num_imgs
             else:
                 buf_dev = jnp.asarray(img.reshape(-1))
@@ -513,12 +519,13 @@ class Flame:
         n_edges = edges_sorted.shape[0]
 
         # ONE u16 upload: [n_tris, n_edges | tris flat | edge_src | ranks
-        # | perm (pallas mode)]. The tunnel link is the pipeline's
-        # scarcest resource (~20-40 MB/s under load); this is ~40% smaller
-        # than separate uploads and one RPC instead of several.
+        # | carry | perm (pallas mode)]. The tunnel link is the
+        # pipeline's scarcest resource; this is one RPC instead of
+        # several. The carry segment is filled by _fill_carry at staging
+        # time (it must be computed against the edges of the topology the
+        # device graph holds when THIS one is applied).
         pallas = self._smoother_mode == "pallas"
-        buf = np.zeros(2 + 3 * T_cap + 2 * E_cap + (V if pallas else 0),
-                       np.uint16)
+        buf = np.zeros(self._topo_words, np.uint16)
         buf[0] = n_tris
         buf[1] = n_edges
         buf[2: 2 + 3 * n_tris] = tris_slots.reshape(-1)
@@ -535,7 +542,7 @@ class Flame:
             ranks = ps.perm_edge_ranks(edges_sorted, n_edges, inv, E_cap,
                                        p.solver.max_vertex_degree,
                                        p.solver.pallas_reach)
-            buf[2 + 3 * T_cap + 2 * E_cap:] = perm.astype(np.uint16)
+            buf[2 + 3 * T_cap + 3 * E_cap:] = perm.astype(np.uint16)
         else:
             ranks = topology.build_edge_ranks(edges_sorted, V, E_cap)
         rk = (np.minimum(ranks[:, 0], 255).astype(np.uint16)
@@ -543,6 +550,29 @@ class Flame:
         buf[2 + 3 * T_cap + E_cap: 2 + 3 * T_cap + 2 * E_cap] = rk
         self.stats.tock("triangulate")
         return (buf, n_tris, tris_slots, edges_sorted, n_edges)
+
+    def _fill_carry(self, buf: np.ndarray, edges_sorted: np.ndarray,
+                    n_edges: int):
+        """Write the dual carry segment of a topo buffer: for each new
+        edge, the slot of the same vertex pair in the LAST APPLIED edge
+        arrays (0xFFFF when the pair is new — reference flame.cc:2094-2104
+        keeps duals on surviving pairs). Main-thread numpy (~0.2 ms);
+        replaces a ~1.5 ms device-side binary search per frame."""
+        p = self.params
+        T_cap, E_cap = p.triangle_capacity, p.edge_capacity
+        V = p.feature_capacity
+        carry = np.full(E_cap, 0xFFFF, np.uint16)
+        n_prev = self._n_edges
+        if n_prev and n_edges:
+            prev = self._edges_np[:n_prev]
+            pcodes = prev[:, 0].astype(np.int64) * V + prev[:, 1]
+            ncodes = edges_sorted[:n_edges, 0].astype(np.int64) * V \
+                + edges_sorted[:n_edges, 1]
+            pos = np.searchsorted(pcodes, ncodes)
+            posc = np.minimum(pos, n_prev - 1)
+            match = pcodes[posc] == ncodes
+            carry[:n_edges] = np.where(match, posc, 0xFFFF).astype(np.uint16)
+        buf[2 + 3 * T_cap + 2 * E_cap: 2 + 3 * T_cap + 3 * E_cap] = carry
 
     def _consume_packed(self, packed: np.ndarray,
                         packed_frame: int = None) -> bool:
@@ -600,12 +630,14 @@ class Flame:
             # upload (one transfer) and stage there.
             self._pending_topo = tri_result
             return
+        self._fill_carry(buf, edges_sorted, n_edges)
         self.stats.tick("topo_upload")
         buf_dev = jnp.asarray(buf)
         self.stats.tock("topo_upload")
         self._staged_tris = (buf_dev, n_tris, tris_slots,
                              edges_sorted, n_edges)
         self._staged_offset = 0
+        self._staged_fresh = True
         self._staged_frame = frame if frame is not None else self.num_imgs
 
     def _run_post_delaunay(self, member, curr, topo_buf, n_tris: int):
@@ -620,7 +652,9 @@ class Flame:
             (fprev.q, fprev.t), (self._fnew.q, self._fnew.t),
             self._graph_scale_dev, self.width, self.height,
             self._idepthmap if p.init_with_prediction else None,
-            topo_buf=topo_buf, topo_offset=self._staged_offset)
+            topo_buf=topo_buf, topo_offset=self._staged_offset,
+            carry_fresh=jnp.asarray(self._staged_fresh))
+        self._staged_fresh = False
         # Triangle array + mask are derived lazily by the output getters
         # from the host copy (off the per-frame path).
         self._tris_staged = (self._tris_np, n_tris)

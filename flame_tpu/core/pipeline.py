@@ -512,7 +512,8 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
                        width: int, height: int,
                        prev_idepthmap=None, topo_buf=None,
                        tris=None, n_tris=None, edges=None, n_edges=None,
-                       edge_ranks=None, topo_offset: int = 0):
+                       edge_ranks=None, topo_offset: int = 0,
+                       carry_fresh=None):
     """Everything between host Delaunay and the next frame, fused into ONE
     dispatch: prev->new epipolar geometry, device-side edge topology + dual
     carry (from the uploaded triangle array alone), graph synchronization,
@@ -537,6 +538,7 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
     smoother = resolve_smoother(params, V)
 
     perm = None
+    carry_idx = None
     if topo_buf is not None and topo_buf.dtype == jnp.uint8:
         # Coalesced upload: the u16 topology words ride behind the frame's
         # image bytes in one transfer (the tunneled device charges per
@@ -552,8 +554,10 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
         edge_src = topo_buf[2 + 3 * T: 2 + 3 * T + E].astype(jnp.int32)
         rk = topo_buf[2 + 3 * T + E: 2 + 3 * T + 2 * E].astype(jnp.int32)
         edge_ranks = jnp.stack([rk & 0xFF, rk >> 8], axis=1)
+        carry_idx = topo_buf[2 + 3 * T + 2 * E: 2 + 3 * T + 3 * E] \
+            .astype(jnp.int32)
         if smoother == "pallas":
-            perm = topo_buf[2 + 3 * T + 2 * E:].astype(jnp.int32)
+            perm = topo_buf[2 + 3 * T + 3 * E:].astype(jnp.int32)
         # Directed corner edges -> the host-selected unique occurrence.
         a = tris.reshape(-1)
         b = tris[:, jnp.array([1, 2, 0])].reshape(-1)
@@ -568,7 +572,8 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
             edges, n_edges, curr.xy, graph.edges, graph.edge_mask,
             graph.q1, graph.q2, graph.q3, E, V, D,
             build_incidence=(smoother != "pallas"),
-            ranks=edge_ranks if smoother != "pallas" else None)
+            ranks=edge_ranks if smoother != "pallas" else None,
+            carry_idx=carry_idx, carry_fresh=carry_fresh)
     else:
         topo = topo_mod.from_triangles(
             tris, n_tris, curr.xy, graph.edges, graph.edge_mask,

@@ -157,13 +157,21 @@ def build_edge_ranks(edges_sorted: np.ndarray, n_vertices: int,
 def from_edges(edges_in, n_edges, pos, prev_edges, prev_edge_mask,
                prev_q1, prev_q2, prev_q3,
                e_cap: int, v_cap: int, degree: int,
-               build_incidence: bool = False, ranks=None) -> Topology:
+               build_incidence: bool = False, ranks=None,
+               carry_idx=None, carry_fresh=None) -> Topology:
     """Like from_triangles, but the host supplies the unique edge list
     directly (canonical (lo, hi), sorted by lo*V+hi code, padded to E) —
     the host already has it from Delaunay, so the device-side
     3T-key sort/unique is unnecessary. Only carry-over, alpha, and the
     optional incidence remain on device. When the host also supplies slot
     ranks (build_edge_ranks), the incidence build is scatter-only.
+
+    carry_idx: optional (E,) host-computed dual carry (index into the
+    PREVIOUSLY APPLIED edge arrays, >= e_cap when the pair is new) —
+    replaces the device-side binary search (~1.5 ms at E=12k on v5e).
+    carry_fresh: () bool — True only on the first application of a
+    topology; on re-application the graph's dual arrays are already
+    aligned with these edges and pass through unchanged.
     """
     edges = edges_in.astype(jnp.int32)
     edge_mask = jnp.arange(e_cap) < n_edges
@@ -171,21 +179,33 @@ def from_edges(edges_in, n_edges, pos, prev_edges, prev_edge_mask,
     hi_e = jnp.where(edge_mask, edges[:, 1], 0)
     edges = jnp.stack([lo_e, hi_e], axis=1)
 
-    big = jnp.int32(v_cap * v_cap)
-    edge_codes = jnp.where(edge_mask, lo_e * v_cap + hi_e, big)
-
     d = pos[lo_e] - pos[hi_e]
     length = jnp.sqrt(jnp.sum(d * d, axis=1))
     alpha = jnp.where(edge_mask & (length > 1e-6),
                       1.0 / jnp.maximum(length, 1e-6), 0.0)
 
-    prev_codes = _edge_codes(prev_edges, prev_edge_mask, v_cap)
-    posn = jnp.searchsorted(prev_codes, edge_codes)
-    posn_c = jnp.minimum(posn, e_cap - 1)
-    match = (prev_codes[posn_c] == edge_codes) & edge_mask
-    q1 = jnp.where(match, prev_q1[posn_c], 0.0)
-    q2 = jnp.where(match, prev_q2[posn_c], 0.0)
-    q3 = jnp.where(match, prev_q3[posn_c], 0.0)
+    if carry_idx is not None:
+        ci = jnp.minimum(carry_idx.astype(jnp.int32), e_cap - 1)
+        okc = (carry_idx < e_cap) & edge_mask
+        fresh = jnp.asarray(
+            True if carry_fresh is None else carry_fresh, bool)
+
+        def carry(prev_q):
+            return jnp.where(
+                fresh, jnp.where(okc, prev_q[ci], 0.0),
+                jnp.where(edge_mask, prev_q, 0.0))
+
+        q1, q2, q3 = carry(prev_q1), carry(prev_q2), carry(prev_q3)
+    else:
+        big = jnp.int32(v_cap * v_cap)
+        edge_codes = jnp.where(edge_mask, lo_e * v_cap + hi_e, big)
+        prev_codes = _edge_codes(prev_edges, prev_edge_mask, v_cap)
+        posn = jnp.searchsorted(prev_codes, edge_codes)
+        posn_c = jnp.minimum(posn, e_cap - 1)
+        match = (prev_codes[posn_c] == edge_codes) & edge_mask
+        q1 = jnp.where(match, prev_q1[posn_c], 0.0)
+        q2 = jnp.where(match, prev_q2[posn_c], 0.0)
+        q3 = jnp.where(match, prev_q3[posn_c], 0.0)
 
     if build_incidence and ranks is not None:
         inc_edge, inc_sign, src_slot = _build_incidence_from_ranks(

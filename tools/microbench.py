@@ -362,14 +362,18 @@ def bench_postprod(g, tris_np, edges_np, n_e, n_used):
                                params.solver.pallas_reach)
     rk = (np.minimum(ranks[:, 0], 255).astype(np.uint16)
           | (np.minimum(ranks[:, 1], 255).astype(np.uint16) << 8))
-    buf = np.zeros(2 + 3 * T_cap + 2 * E + V, np.uint16)
+    buf = np.zeros(2 + 3 * T_cap + 3 * E + V, np.uint16)
     buf[0] = min(tris_np.shape[0], T_cap)
     buf[1] = n_edges
     nt = min(tris_np.shape[0], T_cap)
     buf[2: 2 + 3 * nt] = tris_slots[:nt].reshape(-1)
     buf[2 + 3 * T_cap: 2 + 3 * T_cap + n_edges] = edge_src
     buf[2 + 3 * T_cap + E: 2 + 3 * T_cap + E + n_edges] = rk[:n_edges]
-    buf[2 + 3 * T_cap + 2 * E:] = perm.astype(np.uint16)
+    # Identity host carry (same edge set as the live graph).
+    buf[2 + 3 * T_cap + 2 * E: 2 + 3 * T_cap + 3 * E] = 0xFFFF
+    buf[2 + 3 * T_cap + 2 * E: 2 + 3 * T_cap + 2 * E + n_edges] = \
+        np.arange(n_edges, dtype=np.uint16)
+    buf[2 + 3 * T_cap + 3 * E:] = perm.astype(np.uint16)
     buf_d = jnp.asarray(buf)
 
     curr = pipeline.CurrFeatures(
