@@ -135,8 +135,8 @@ def rasterize_bruteforce(verts: jax.Array, tris: jax.Array, vals: jax.Array,
     "cell_h", "cell_w", "max_per_cell"))
 def rasterize(verts: jax.Array, tris: jax.Array, vals: jax.Array,
               tri_valid: jax.Array, height: int, width: int,
-              truncate: bool = True, tile_h: int = 64, tile_w: int = 128,
-              max_per_tile: int = 256, cell_h: int = 16, cell_w: int = 32,
+              truncate: bool = True, tile_h: int = 32, tile_w: int = 128,
+              max_per_tile: int = 160, cell_h: int = 16, cell_w: int = 32,
               max_per_cell: int = 40) -> jax.Array:
     """Two-level tile-binned rasterizer (production path).
 
