@@ -192,19 +192,30 @@ def sharded_update_step(params: Params, mesh: Mesh, smoother: str = "edge"):
         in_specs=(rep, rep, stack_rep, fshard_tree, frame_rep, rep),
         out_specs=(fshard_tree, curr_shard, P(AXIS), P(AXIS), obs_shard))
 
-    if smoother == "halo":
+    if smoother in ("halo", "pallas_halo"):
         from flame_tpu.parallel import halo as halo_mod
+        from flame_tpu.parallel import pallas_halo as ph_mod
 
         def step(K, Kinv, stack, feats, fnew, curr_pf_slot, graph,
                  perm, inv_perm, ranks_p):
             feats2, curr, member, stats, _obs = tracked(
                 K, Kinv, stack, feats, fnew, curr_pf_slot)
-            graph2 = halo_mod.halo_smooth(
-                params.rparams, graph, perm, inv_perm, ranks_p,
-                params.solver.n_iters_per_frame,
-                params.solver.max_vertex_degree, mesh,
-                halo=min(params.feature_capacity // n_dev,
-                         (params.solver.pallas_reach + 1) * 128))
+            if smoother == "pallas_halo":
+                # In-kernel RDMA halo exchange (parallel/pallas_halo.py):
+                # the whole iteration loop runs VMEM-resident per device.
+                graph2 = ph_mod.smooth_sharded(
+                    params.rparams, graph, perm, inv_perm, ranks_p,
+                    params.solver.n_iters_per_frame,
+                    params.solver.max_vertex_degree, mesh, axis=AXIS,
+                    reach=params.solver.pallas_reach,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                graph2 = halo_mod.halo_smooth(
+                    params.rparams, graph, perm, inv_perm, ranks_p,
+                    params.solver.n_iters_per_frame,
+                    params.solver.max_vertex_degree, mesh,
+                    halo=min(params.feature_capacity // n_dev,
+                             (params.solver.pallas_reach + 1) * 128))
             stats = jnp.sum(stats.reshape(n_dev, -1), axis=0)
             return feats2, curr, member, graph2, stats
 
