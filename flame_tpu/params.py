@@ -178,8 +178,14 @@ class BAParams:
     rematch_max_cost: float = 6500.0
     # KLT corner gate: min eigenvalue of the anchor patch's gradient
     # structure tensor required to trust a 2-D match (aperture problem —
-    # edge-like patches keep their epipolar match).
-    rematch_min_eig: float = 625.0
+    # edge-like patches keep their epipolar match). Tuning (synthetic
+    # noisy-pose A/B, tests/test_evaluation.py): 25 passes real corners
+    # while rejecting the near-1-D patches (lambda_min ~0.2) whose
+    # ungated re-matching measured 5x ATE inflation. A mid threshold that
+    # re-matches only PART of the corner population (e.g. 100 -> 28%)
+    # is worse than none — mixed match populations fight each other —
+    # so prefer thresholds that are decisive either way.
+    rematch_min_eig: float = 25.0
     # Whiten residuals/Jacobians by each anchor patch's structure tensor
     # (ba/rematch.observation_weights): edge features contribute only
     # their gradient-direction constraint. Off by default: for epipolar-

@@ -90,3 +90,49 @@ def test_ba_improves_noisy_trajectory(rng):
     # injected noise (matches are epipolar-correlated with the noisy
     # poses, so full recovery is not expected).
     assert ate_out < ate_in * 1.05, (ate_in, ate_out)
+
+
+def test_ba_rematch_improves_corner_scene(rng):
+    """On a corner-rich texture the 2-D observation re-matching
+    (ba/rematch.py) must restore enough perpendicular residual for the
+    windowed BA to recover a solid fraction of injected pose noise —
+    epipolar-only matches leave it nearly blind (ratio ~1.0)."""
+    from flame_tpu.core.flame import Flame
+    from flame_tpu.geometry import se3, camera
+    from flame_tpu.params import BAParams
+    from test_flame_e2e import make_params, FX, W, H
+
+    PLANE_Z = 5.0
+
+    def render2(cam_x):
+        vv, uu = np.mgrid[0:H, 0:W].astype(np.float64)
+        X = (uu - W / 2) * PLANE_Z / FX + cam_x
+        Y = (vv - H / 2) * PLANE_Z / FX
+        return (128 + 45 * np.sin(4.1 * X) * np.sin(4.3 * Y)
+                + 35 * np.sin(9.7 * X + 0.3) * np.sin(8.9 * Y + 1.1)
+                + 20 * np.sin(2.3 * X + 0.7) * np.sin(2.9 * Y + 0.2)
+                ).astype(np.float32)
+
+    params = make_params().replace(
+        do_ba=True,
+        ba=BAParams(n_gn_iters=6, pose_prior_weight=3e2, window_size=8))
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+    fl = Flame(W, H, K, camera.inv_k(K), params)
+
+    n = 16
+    gt_t = np.stack([0.15 * np.arange(n), np.zeros(n), np.zeros(n)], 1)
+    noise = np.zeros((n, 3))
+    noise[6:] = rng.normal(size=(n - 6, 3)) * 0.008
+    for i in range(n):
+        pose = (se3.quat_identity(),
+                jnp.asarray((gt_t[i] + noise[i]).astype(np.float32)))
+        fl.update(i * 0.1, i, pose, render2(0.15 * i), i % 2 == 0)
+
+    ids = sorted(fl._pf_slot_by_id)
+    est = np.stack([np.asarray(fl._stack.t[fl._pf_slot_by_id[f]])
+                    for f in ids])
+    gt = gt_t[ids]
+    noisy = gt + noise[ids]
+    ate_in = ev.ate_rmse(noisy, gt, align=False)
+    ate_out = ev.ate_rmse(est, gt, align=False)
+    assert ate_out < 0.9 * ate_in, (ate_in, ate_out)
