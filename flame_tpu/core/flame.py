@@ -242,46 +242,18 @@ class Flame:
         q = jnp.asarray(q, jnp.float32)
         t = jnp.asarray(t, jnp.float32)
 
-        self.stats.tick("frame_creation")
-        self._fprev = self._fnew
-        self._coalesce = (p.solver.coalesce_uploads
-                          and p.solver.async_topology
-                          and isinstance(img, np.ndarray)
-                          and img.dtype == np.uint8)
-        if self._coalesce:
-            # ONE host->device transfer for this frame: image bytes, plus
-            # the pending topology words if a new triangulation landed
-            # last frame (the tunneled device charges per transfer, not
-            # per byte). The split back happens on device inside the
-            # consuming jits (frame.create_from_buf / post_delaunay_step).
-            hw = self.height * self.width
-            if self._pending_topo is not None:
-                (tbuf, n_tris, tris_np, edges_np,
-                 n_edges) = self._pending_topo
-                self._pending_topo = None
-                self._fill_carry(tbuf, edges_np, n_edges)
-                up = np.empty(hw + 2 * self._topo_words, np.uint8)
-                up[:hw] = img.reshape(-1)
-                up[hw:] = tbuf.view(np.uint8)
-                buf_dev = jnp.asarray(up)
-                self._staged_tris = (buf_dev, n_tris, tris_np, edges_np,
-                                     n_edges)
-                self._staged_offset = hw
-                self._staged_fresh = True
-                self._staged_frame = self.num_imgs
-            else:
-                buf_dev = jnp.asarray(img.reshape(-1))
-            self._fnew = frame_mod.create_from_buf(
-                frame_id, q, t, buf_dev, self.height, self.width, p.pad)
-        else:
-            self._fnew = frame_mod.create(frame_id, q, t, jnp.asarray(img),
-                                          p.pad)
-        self.stats.tock("frame_creation")
+        img_arg = self._prepare_upload(img)
+
+        # Steady-state fast path: frame creation (+ poseframe insertion)
+        # fuses into the track dispatch — one device dispatch per frame
+        # where the cold path issues three.
+        fast = (self.inited and self._curr_pf_slot is not None
+                and self._fnew is not None  # e.g. right after restore
+                and (self._n_valid > 0 or bool(self._packed_queue)))
 
         if is_poseframe:
             self.stats.tick("pf_insert")
             slot = self._alloc_pf_slot(frame_id)
-            self._stack = frame_mod.insert(self._stack, slot, self._fnew)
             self._pf_slot_by_id[frame_id] = slot
             self._curr_pf_slot = slot
             self._curr_pf_id = frame_id
@@ -293,49 +265,90 @@ class Flame:
             self.stats.tock("pf_insert")
 
         self.num_imgs += 1
-        if self.num_imgs < 2 or self._curr_pf_slot is None:
-            self.stats.tock("update")
-            return False
 
-        # Bootstrap detection (reference flame.cc:174-242): first poseframe
-        # with no features yet.
-        if not self.inited and is_poseframe and self._n_valid == 0:
-            if p.solver.async_topology and self._packed_queue:
-                # Need a current mirror before bootstrap decisions: consume
-                # the newest queued transfer, discard older ones.
-                pk, pk_frame = self._packed_queue[-1]
-                self._packed_queue.clear()
-                self._consume_packed(pk.get(), pk_frame,
-                                     tri_result=pk.get_extra())
-            if self._n_valid == 0:
-                self._bootstrap_detect(self._curr_pf_slot)
+        if fast:
+            do_detect = bool(is_poseframe and (p.detection.continuous
+                                               or self.num_data_updates < 1))
+            self.stats.tick("update_idepths")
+            prev_f = self._fnew
+            (fnew, stack2, feats, curr, member, stat_vec, track_obs,
+             packed_dev) = pipeline.frame_track_step(
+                p, self.K, self.Kinv, self._stack, self._feats, img_arg,
+                jnp.int32(frame_id), q, t, self._curr_pf_slot,
+                prev_f.q, prev_f.t, jnp.int32(self._feat_id_counter),
+                self._idepthmap, do_detect, bool(is_poseframe),
+                self.height, self.width)
+            self._fprev = prev_f
+            self._fnew = fnew
+            if stack2 is not None:
+                self._stack = stack2
+            if do_detect:
+                self._feat_id_counter += self._add_cap
+            self._feats = feats
+            self._curr = curr
+            self._last_track_obs = track_obs
+            self._last_stats_dev = stat_vec  # fetched by failure_stats()
+            self.stats.tock("update_idepths")
+        else:
+            # Cold path (bootstrap / early frames): separate dispatches.
+            self.stats.tick("frame_creation")
+            self._fprev = self._fnew
+            if img_arg.ndim == 1:
+                self._fnew = frame_mod.create_from_buf(
+                    frame_id, q, t, img_arg, self.height, self.width,
+                    p.pad)
+            else:
+                self._fnew = frame_mod.create(frame_id, q, t, img_arg,
+                                              p.pad)
+            self.stats.tock("frame_creation")
+            if is_poseframe:
+                self._stack = frame_mod.insert(
+                    self._stack, self._curr_pf_slot, self._fnew)
 
-        if self._n_valid == 0 and not self._packed_queue:
-            self.stats.tock("update")
-            return False
+            if self.num_imgs < 2 or self._curr_pf_slot is None:
+                self.stats.tock("update")
+                return False
 
-        # --- Track + measure + fuse + project + gate + detect + pack:
-        # ONE device dispatch (detection on poseframes rides along,
-        # reference detectFeatures via the detection thread,
-        # flame.cc:822-1278; its winners ride the same packed transfer).
-        do_detect = bool(
-            is_poseframe and self._fprev is not None
-            and (p.detection.continuous or self.num_data_updates < 1))
-        self.stats.tick("update_idepths")
-        prev_q = self._fprev.q if self._fprev is not None else self._fnew.q
-        prev_t = self._fprev.t if self._fprev is not None else self._fnew.t
-        (feats, curr, member, stat_vec, track_obs,
-         packed_dev) = pipeline.track_step(
-            p, self.K, self.Kinv, self._stack, self._feats, self._fnew,
-            self._curr_pf_slot, prev_q, prev_t, do_detect,
-            jnp.int32(self._feat_id_counter), self._idepthmap)
-        if do_detect:
-            self._feat_id_counter += self._add_cap
-        self._feats = feats
-        self._curr = curr
-        self._last_track_obs = track_obs
-        self._last_stats_dev = stat_vec  # fetched lazily by failure_stats()
-        self.stats.tock("update_idepths")
+            # Bootstrap detection (reference flame.cc:174-242): first
+            # poseframe with no features yet.
+            if not self.inited and is_poseframe and self._n_valid == 0:
+                if p.solver.async_topology and self._packed_queue:
+                    # Need a current mirror before bootstrap decisions:
+                    # consume the newest queued transfer, discard older.
+                    pk, pk_frame = self._packed_queue[-1]
+                    self._packed_queue.clear()
+                    self._consume_packed(pk.get(), pk_frame)
+                if self._n_valid == 0:
+                    self._bootstrap_detect(self._curr_pf_slot)
+
+            if self._n_valid == 0 and not self._packed_queue:
+                self.stats.tock("update")
+                return False
+
+            # --- Track + measure + fuse + project + gate + detect +
+            # pack: ONE device dispatch (detection on poseframes rides
+            # along, reference detectFeatures via the detection thread,
+            # flame.cc:822-1278; winners ride the same packed transfer).
+            do_detect = bool(
+                is_poseframe and self._fprev is not None
+                and (p.detection.continuous or self.num_data_updates < 1))
+            self.stats.tick("update_idepths")
+            prev_q = self._fprev.q if self._fprev is not None \
+                else self._fnew.q
+            prev_t = self._fprev.t if self._fprev is not None \
+                else self._fnew.t
+            (feats, curr, member, stat_vec, track_obs,
+             packed_dev) = pipeline.track_step(
+                p, self.K, self.Kinv, self._stack, self._feats, self._fnew,
+                self._curr_pf_slot, prev_q, prev_t, do_detect,
+                jnp.int32(self._feat_id_counter), self._idepthmap)
+            if do_detect:
+                self._feat_id_counter += self._add_cap
+            self._feats = feats
+            self._curr = curr
+            self._last_track_obs = track_obs
+            self._last_stats_dev = stat_vec
+            self.stats.tock("update_idepths")
 
         # Async pipelining: consume a packed transfer issued topology_lag
         # frames ago (long complete) and triangulate it now, while the
@@ -472,6 +485,36 @@ class Flame:
     # ------------------------------------------------------------------
     # Host helpers.
     # ------------------------------------------------------------------
+
+    def _prepare_upload(self, img):
+        """Stage this frame's host->device transfer. Returns the device
+        image argument for frame creation: a (H*W [+ topo]) uint8 buffer
+        on the coalesced path (ONE transfer carrying the image and, when
+        a fresh triangulation is pending, the topology words — the
+        tunneled device charges per transfer, not per byte; the split
+        happens on device), else the image as a device array."""
+        p = self.params
+        self._coalesce = (p.solver.coalesce_uploads
+                          and p.solver.async_topology
+                          and isinstance(img, np.ndarray)
+                          and img.dtype == np.uint8)
+        if not self._coalesce:
+            return jnp.asarray(img)
+        hw = self.height * self.width
+        if self._pending_topo is None:
+            return jnp.asarray(img.reshape(-1))
+        (tbuf, n_tris, tris_np, edges_np, n_edges) = self._pending_topo
+        self._pending_topo = None
+        self._fill_carry(tbuf, edges_np, n_edges)
+        up = np.empty(hw + 2 * self._topo_words, np.uint8)
+        up[:hw] = img.reshape(-1)
+        up[hw:] = tbuf.view(np.uint8)
+        buf_dev = jnp.asarray(up)
+        self._staged_tris = (buf_dev, n_tris, tris_np, edges_np, n_edges)
+        self._staged_offset = hw
+        self._staged_fresh = True
+        self._staged_frame = self.num_imgs
+        return buf_dev
 
     def _host_triangulate(self, packed: np.ndarray):
         """Delaunay over the member features of a packed track transfer +

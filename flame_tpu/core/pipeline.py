@@ -393,6 +393,54 @@ def track_step(params: Params, K, Kinv, stack: FrameStack,
     return feats3, curr, member, stats, obs, packed
 
 
+@functools.partial(jax.jit, static_argnames=("params", "do_detect",
+                                             "do_insert", "height",
+                                             "width"))
+def frame_track_step(params: Params, K, Kinv, stack: FrameStack,
+                     feats: FeatureState, img, frame_id, q, t,
+                     curr_pf_slot, prev_q, prev_t, id_base, seed_map,
+                     do_detect: bool, do_insert: bool,
+                     height: int = 0, width: int = 0):
+    """Steady-state per-frame fast path: frame creation (pad + central
+    gradients, from a raw image or the leading bytes of a coalesced
+    upload), optional poseframe-stack insertion, and the fused
+    track/detect/pack step — ONE device dispatch where the orchestrator
+    previously issued three (create, insert, track). Returns
+    (fnew, stack' or None, feats', curr, member, stats, obs, packed);
+    stack' is returned only when do_insert (an unchanged 100 MB stack
+    output would otherwise be copied every frame)."""
+    from flame_tpu.core import frame as frame_mod
+
+    if img.ndim == 1:
+        fnew = frame_mod.create_from_buf.__wrapped__(
+            frame_id, q, t, img, height, width, params.pad)
+    else:
+        fnew = frame_mod.create.__wrapped__(frame_id, q, t, img, params.pad)
+    if do_insert:
+        stack = frame_mod.insert.__wrapped__(stack, curr_pf_slot, fnew)
+
+    feats3, curr, member, stats, obs = track_project_sync.__wrapped__(
+        params, K, Kinv, stack, feats, fnew, curr_pf_slot)
+
+    if do_detect:
+        from flame_tpu.core import detection
+        H = fnew.gradx.shape[0]
+        row_offset = H // 3 if params.detection.do_letterbox else 0
+        geo = epipolar.load_relative(
+            K, Kinv, (stack.q[curr_pf_slot], stack.t[curr_pf_slot]),
+            (prev_q, prev_t))
+        det_out = detection.detect_packed(
+            geo, stack.gradx[curr_pf_slot], stack.grady[curr_pf_slot],
+            curr.xy, curr.valid, params.detection.min_grad_mag,
+            params.detection.win_size, params.border, row_offset)
+        feats3 = insert_detections(params, feats3, det_out, curr_pf_slot,
+                                   seed_map, id_base)
+
+    packed = pack_track_outputs(feats3, curr, member)
+    return (fnew, stack if do_insert else None, feats3, curr, member,
+            stats, obs, packed)
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def bootstrap_detect(params: Params, K, Kinv, stack: FrameStack,
                      feats: FeatureState, prev_q, prev_t, pf_slot,
