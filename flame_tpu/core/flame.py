@@ -878,7 +878,7 @@ class Flame:
         """Dense idepthmap over filter-passing triangles only
         (reference flame.h:217-228)."""
         self._ensure_tris()
-        img = rasterize.rasterize(
+        img = rasterize.rasterize_auto(
             self._graph.pos, self._tris, self._vtx_idepths,
             self._tri_mask & self._tri_validity, self.height, self.width)
         return np.asarray(img)

@@ -725,8 +725,8 @@ def mesh_outputs(params: Params, K, Kinv, width: int, height: int,
     tri_validity = mesh_filters.apply_filters(
         params.tri_filter, Kinv, width, graph.pos, vtx_idepths, tris,
         tri_mask, geom)
-    idepthmap = raster.rasterize(graph.pos, tris, vtx_idepths, tri_mask,
-                                 height, width)
+    idepthmap = raster.rasterize_auto(graph.pos, tris, vtx_idepths,
+                                      tri_mask, height, width)
     return vtx_idepths, normals, tri_validity, idepthmap
 
 

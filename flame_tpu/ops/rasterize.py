@@ -272,10 +272,24 @@ def rasterize(verts: jax.Array, tris: jax.Array, vals: jax.Array,
     return jnp.where(jnp.isinf(img), jnp.nan, img)
 
 
+def rasterize_auto(verts: jax.Array, tris: jax.Array, vals: jax.Array,
+                   tri_valid: jax.Array, height: int, width: int,
+                   **kwargs) -> jax.Array:
+    """Backend dispatch: the fused Pallas tile kernel on TPU (3.5x the
+    XLA tile-binned version, exact-equal output — ops/pallas_raster.py),
+    the XLA version elsewhere."""
+    import jax as _jax
+    if _jax.default_backend() == "tpu" and not kwargs:
+        from flame_tpu.ops import pallas_raster
+        return pallas_raster.rasterize(verts, tris, vals, tri_valid,
+                                       height, width)
+    return rasterize(verts, tris, vals, tri_valid, height, width, **kwargs)
+
+
 def interpolate_mesh(verts: jax.Array, tris: jax.Array, vals: jax.Array,
                      tri_valid: jax.Array, vtx_valid: jax.Array,
                      height: int, width: int, **kwargs) -> jax.Array:
     """interpolateMesh equivalent (reference image_utils.cc:373-396):
     a triangle is drawn iff the triangle and all three vertices are valid."""
     ok = tri_valid & jnp.all(vtx_valid[tris], axis=1)
-    return rasterize(verts, tris, vals, ok, height, width, **kwargs)
+    return rasterize_auto(verts, tris, vals, ok, height, width, **kwargs)

@@ -262,3 +262,31 @@ def test_interpolate_mesh_vertex_validity():
         verts, tris, vals, tri_valid, vtx_valid, 32, 32))
     assert np.isnan(img[21, 21])  # triangle with invalid vertex dropped
     assert not np.isnan(img[4, 9])
+
+
+def test_pallas_rasterizer_matches_bruteforce(rng):
+    """The fused Pallas tile rasterizer (ops/pallas_raster.py, interpret
+    mode here) must reproduce the brute-force rasterizer exactly on a
+    random Delaunay mesh."""
+    from scipy.spatial import Delaunay as SDelaunay
+    from flame_tpu.ops import pallas_raster
+
+    H, W = 120, 160
+    pts = rng.uniform([4, 4], [156, 116], (180, 2)).astype(np.float32)
+    sd = SDelaunay(pts)
+    T = 512
+    tris = np.zeros((T, 3), np.int32)
+    tris[:sd.simplices.shape[0]] = sd.simplices
+    tm = np.zeros(T, bool)
+    tm[:sd.simplices.shape[0]] = True
+    vals = rng.uniform(0.5, 2.0, 180).astype(np.float32)
+
+    ref = np.asarray(rasterize.rasterize_bruteforce(
+        jnp.asarray(pts), jnp.asarray(tris), jnp.asarray(vals),
+        jnp.asarray(tm), H, W))
+    out = np.asarray(pallas_raster.rasterize(
+        jnp.asarray(pts), jnp.asarray(tris), jnp.asarray(vals),
+        jnp.asarray(tm), H, W, max_per_tile=512, interpret=True))
+    assert (np.isnan(ref) == np.isnan(out)).all()
+    m = ~np.isnan(ref)
+    np.testing.assert_allclose(out[m], ref[m], atol=1e-5)
