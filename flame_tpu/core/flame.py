@@ -23,7 +23,6 @@ timing (flame.cc:708-773 vs :250-260).
 """
 
 import collections
-import math
 import threading
 import time
 from typing import Dict, Optional, Tuple

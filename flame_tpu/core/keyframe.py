@@ -12,7 +12,6 @@ candidates, far off the hot path (reference flame.cc:775-820).
 """
 
 import math
-from typing import Optional
 
 import numpy as np
 

@@ -6,7 +6,6 @@ formulation over the 4 box edges that broadcasts over batches of segments,
 so the epipolar search-region construction vmaps across all features.
 """
 
-import jax
 import jax.numpy as jnp
 
 

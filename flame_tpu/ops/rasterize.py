@@ -29,7 +29,6 @@ Semantics matched to the reference:
 """
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

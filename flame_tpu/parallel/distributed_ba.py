@@ -8,7 +8,6 @@ replicated on every device. This is the "reduce off-diagonal BA blocks
 over ICI collectives" layer of the north star (BASELINE.json).
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

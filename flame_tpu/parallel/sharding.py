@@ -19,7 +19,6 @@ used by the multi-chip dry run and, on pod slices, the production path.
 """
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

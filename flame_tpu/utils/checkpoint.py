@@ -10,7 +10,7 @@ checkpoints dependency-free and trivially inspectable.
 
 import json
 import os
-from typing import Any, Dict
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp
