@@ -145,14 +145,14 @@ def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
     bad_rescale = (rescale <= params.rescale_factor_min) | \
                   (rescale >= params.rescale_factor_max)
 
-    # Move path: predict through anchor -> curr_pf.
+    # Move path: predict through anchor -> curr_pf. Composed from the
+    # already-built anchor->new geometries and ONE new->pf geometry
+    # instead of a second vmapped K R Kinv chain over all slots.
     q_pf = stack.q[curr_pf_slot]
     t_pf = stack.t[curr_pf_slot]
-    qa = stack.q[feats.pf_slot]
-    ta = stack.t[feats.pf_slot]
-    q_mv, t_mv = se3.mul(se3.inverse((q_pf, t_pf)), (qa, ta))
-    geos_mv = jax.vmap(epipolar.load, in_axes=(None, None, 0, 0))(
-        K, Kinv, q_mv, t_mv)
+    geo_n2pf = epipolar.load(K, Kinv, *se3.mul(
+        se3.inverse((q_pf, t_pf)), (q_new, t_new)))
+    geos_mv = epipolar.compose(geo_n2pf, geos)
     ok_mv, u_pf, id_pf, _ = jax.vmap(
         idfilter.predict, in_axes=(0, None, 0, 0, 0))(
             geos_mv, fp.process_var_factor, feats.xy, feats.idepth_mu,
@@ -237,8 +237,18 @@ def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
         search_status=out_status.astype(jnp.int32),
         feat_id=feats.feat_id)
 
-    # --- Project into the current frame (flame.cc:1754-1860).
-    geos2 = _feature_geos(K, Kinv, stack, feats2, q_new, t_new)
+    # --- Project into the current frame (flame.cc:1754-1860). Anchors
+    # changed only on moved lanes, where the new anchor IS curr_pf: select
+    # the single pf->new geometry there instead of re-running the vmapped
+    # geometry build over all slots.
+    geo_pf2new = epipolar.load(K, Kinv, *se3.mul(
+        se3.inverse((q_new, t_new)), (q_pf, t_pf)))
+
+    def _sel(a, b):
+        m = move_ok.reshape(move_ok.shape + (1,) * (a.ndim - 1))
+        return jnp.where(m, jnp.broadcast_to(b, a.shape), a)
+
+    geos2 = jax.tree.map(_sel, geos, geo_pf2new)
     xy_cur, id_cur = jax.vmap(epipolar.project_idepth)(
         geos2, feats2.xy, feats2.idepth_mu)
     proj_ok = vr_contains(xy_cur) & (id_cur >= 0)

@@ -63,6 +63,33 @@ def load_relative(K: jax.Array, Kinv: jax.Array, T_ref, T_cmp) -> EpiGeo:
     return load(K, Kinv, q, t)
 
 
+def compose(geo2: EpiGeo, geos: EpiGeo) -> EpiGeo:
+    """Geometry ref->cmp2 from (possibly batched) ref->cmp geometries and
+    ONE cmp->cmp2 geometry geo2 — without re-running the per-feature
+    K R Kinv chains (K Kinv cancels in the middle):
+      KRKinv' = KRKinv_2 @ KRKinv,  Kt' = KRKinv_2 @ Kt + Kt_2.
+    The tracking step uses this to derive per-feature anchor->poseframe
+    geometries from the already-built anchor->new set (one broadcasted
+    3x3 matmul instead of 4096 quat-to-matrix + double-matmul chains)."""
+    hi = jax.lax.Precision.HIGHEST
+    q = se3.quat_mul(geo2.q_ref_to_cmp, geos.q_ref_to_cmp)
+    t = se3.quat_rotate(geo2.q_ref_to_cmp, geos.t_ref_to_cmp) \
+        + geo2.t_ref_to_cmp
+    KRKinv = jnp.matmul(geo2.KRKinv, geos.KRKinv, precision=hi)
+    Kt = jnp.matmul(geos.Kt, geo2.KRKinv.T, precision=hi) + geo2.Kt
+    t_cmp_to_ref = -se3.quat_rotate(se3.quat_conj(q), t)
+    K = geos.K
+    tz = t[..., 2]
+    safe_tz = jnp.where(jnp.abs(tz) > 0, tz, 1.0)
+    epipole = jnp.stack([
+        (K[..., 0, 0] * t[..., 0] + K[..., 0, 2] * tz) / safe_tz,
+        (K[..., 1, 1] * t[..., 1] + K[..., 1, 2] * tz) / safe_tz,
+    ], axis=-1)
+    return EpiGeo(K=geos.K, Kinv=geos.Kinv, q_ref_to_cmp=q,
+                  t_ref_to_cmp=t, t_cmp_to_ref=t_cmp_to_ref,
+                  KRKinv=KRKinv, Kt=Kt, epipole=epipole)
+
+
 def _apply33(M: jax.Array, uv: jax.Array) -> jax.Array:
     """Homogeneous 3x3 action on pixel batch (..., 2) -> (..., 3)."""
     x = M[0, 0] * uv[..., 0] + M[0, 1] * uv[..., 1] + M[0, 2]

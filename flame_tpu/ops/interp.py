@@ -79,12 +79,12 @@ def bilinear_stack(imgs: jax.Array, frame_idx: jax.Array, x: jax.Array,
     fidx = jnp.clip(frame_idx, 0, F - 1).astype(jnp.int32)
     idx00 = fidx * (H * W) + y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
     flat = imgs.reshape(-1).astype(jnp.float32)
-    # Cost model (v5e): packing saves 3 gathers of x.size rows
-    # (~1.7 ns/row) but materializes a (F*H*W, 4) matrix (~0.01 ns/elem
-    # of HBM traffic each way) — worth it only when the query is large
-    # RELATIVE to the stack (a 16-poseframe VGA stack costs ~200 us to
-    # pack; the 5-tap ref-patch query is 20k rows ~ 35 us/gather).
-    if x.size > imgs.size // 512:
+    # Measured on v5e (16-poseframe VGA stack, 5.2M elements): the packed
+    # path wins even for the 5-tap ref-patch query (0.37 vs 0.53 ms at
+    # 20k rows; 1.9 vs 5.8 ms at 180k) — XLA's gather lowering charges
+    # far more per extra gather than the (F*H*W, 4) pack materializes.
+    # Only truly tiny queries skip the pack.
+    if x.size >= 4096:
         # Packed-corner row gather as in bilinear(); the roll wraparound
         # between adjacent frames is never gathered (interior clamp keeps
         # idx00 + W + 1 within the sample's own frame).

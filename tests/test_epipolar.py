@@ -7,6 +7,7 @@ pixels, and disparity <-> inverse-depth round trips.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from flame_tpu.geometry import se3, camera, epipolar
@@ -223,3 +224,49 @@ def test_batched_queries(rng):
     # Unit epilines.
     np.testing.assert_allclose(np.linalg.norm(np.asarray(epi), axis=-1), 1.0,
                                atol=1e-5)
+
+
+def test_compose_matches_direct_load():
+    """epipolar.compose (chained KRKinv/Kt instead of a fresh K R Kinv
+    build) must match load() on the composed relative pose."""
+    import numpy as np
+    from flame_tpu.geometry import se3
+
+    rng = np.random.default_rng(3)
+    K = camera.make_k(525.0, 520.0, 320.0, 240.0)
+    Kinv = camera.inv_k(K)
+
+    def rand_pose():
+        q = rng.normal(size=4)
+        q = jnp.asarray(q / np.linalg.norm(q), jnp.float32)
+        return q, jnp.asarray(rng.normal(size=3) * 0.5, jnp.float32)
+
+    # Batched ref->cmp geometries + one cmp->cmp2.
+    q1 = []
+    t1 = []
+    for _ in range(5):
+        q, t = rand_pose()
+        q1.append(q)
+        t1.append(t)
+    q1 = jnp.stack(q1)
+    t1 = jnp.stack(t1)
+    geos = jax.vmap(epipolar.load, in_axes=(None, None, 0, 0))(
+        K, Kinv, q1, t1)
+    q2, t2 = rand_pose()
+    geo2 = epipolar.load(K, Kinv, q2, t2)
+
+    out = epipolar.compose(geo2, geos)
+    for i in range(5):
+        qc = se3.quat_mul(q2, q1[i])
+        tc = se3.quat_rotate(q2, t1[i]) + t2
+        ref = epipolar.load(K, Kinv, qc, tc)
+        for f in ("KRKinv", "Kt", "t_ref_to_cmp", "t_cmp_to_ref",
+                  "epipole"):
+            a = np.asarray(getattr(ref, f))
+            b = np.asarray(getattr(out, f))[i]
+            np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-4,
+                                       err_msg=f)
+        # Quaternion up to sign.
+        qa = np.asarray(ref.q_ref_to_cmp)
+        qb = np.asarray(out.q_ref_to_cmp)[i]
+        assert min(np.abs(qb - qa).max(), np.abs(qb + qa).max()) < 1e-5

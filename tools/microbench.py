@@ -258,9 +258,12 @@ def bench_trackparts():
 
     def t(name, fn, fetch):
         f = jax.jit(fn)
+        R = 8
         def run():
-            np.asarray(fetch(f()))
-        print(f"trackparts/{name:16s} {timeit(run)*1e3:8.2f} ms")
+            for _ in range(R):
+                out = f()
+            np.asarray(fetch(out))
+        print(f"trackparts/{name:16s} {timeit(run, inner=R)*1e3:8.2f} ms")
 
     t("geos", lambda: pipeline._feature_geos(
         K, Kinv, stack, feats, fnew.q, fnew.t),
