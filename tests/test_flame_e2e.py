@@ -293,3 +293,35 @@ def test_coalesced_uploads_match_separate():
     # Same features, same filters; only topology freshness differs.
     diff = np.abs(idm_c[both] - idm_s[both]) / TRUE_IDEPTH
     assert np.median(diff) < 0.05, np.median(diff)
+
+
+def test_poseframe_capacity_auto_evict():
+    """Past poseframe capacity every new poseframe auto-evicts the oldest
+    (prune_poseframes with the deferred mirror refresh): the pipeline must
+    keep producing a good map with features re-anchored onto survivors."""
+    from flame_tpu.params import SolverParams
+    params = make_params().replace(
+        poseframe_capacity=4,
+        solver=SolverParams(n_iters_per_frame=30, max_vertex_degree=16,
+                            async_topology=True))
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+    fl = Flame(W, H, K, camera.inv_k(K), params)
+    n = 24  # 12 poseframes -> 8 auto-evictions
+    for i in range(n):
+        cam_x = 0.15 * i
+        pose = (se3.quat_identity(), jnp.array([cam_x, 0.0, 0.0]))
+        img = np.clip(render(cam_x), 0, 255).astype(np.uint8)
+        fl.update(i * 0.1, i, pose, img, i % 2 == 0)
+
+    assert len(fl._pf_slot_by_id) == 4
+    assert sorted(fl._pf_slot_by_id) == [16, 18, 20, 22]
+    # Every surviving feature's anchor is a live poseframe slot.
+    valid = np.asarray(fl._feats.valid)
+    anchors = np.asarray(fl._feats.pf_slot)[valid]
+    live_slots = set(fl._pf_slot_by_id.values())
+    assert set(anchors.tolist()) <= live_slots
+    idm = fl.get_inverse_depth_map()
+    cov = np.mean(~np.isnan(idm))
+    assert cov > 0.25, cov
+    err = np.abs(idm[~np.isnan(idm)] - TRUE_IDEPTH) / TRUE_IDEPTH
+    assert np.median(err) < 0.12, np.median(err)
