@@ -349,14 +349,12 @@ class Flame:
             self._last_stats_dev = stat_vec
             self.stats.tock("update_idepths")
 
-        # Async pipelining: consume a packed transfer issued topology_lag
-        # frames ago (long complete) and triangulate it now, while the
-        # device chews on the track dispatch above — the TPU analogue of
-        # the reference's thread pipelining (flame.cc:98-116). Lag 2 gives
-        # the device->host round trip a full frame to finish so the join
-        # below never blocks. Detection winners ride the same transfer and
-        # drain here too (the reference's detection thread likewise
-        # delivers a frame late, flame.cc:737-757).
+        # Async pipelining: consume packed transfers staged on earlier
+        # frames and triangulate them now, while the device chews on the
+        # track dispatch above — the TPU analogue of the reference's
+        # thread pipelining (flame.cc:98-116). Detection winners ride the
+        # same transfer and drain here too (the reference's detection
+        # thread likewise delivers a frame late, flame.cc:737-757).
         if p.solver.async_topology:
             # Consume every transfer that has already landed; block only
             # when the head transfer has gone too stale (backstop).
