@@ -76,6 +76,8 @@ def main():
             # inert and detection inserts on device).
             fetch_stride=int(os.environ.get("BENCH_STRIDE", 3)),
             join_age=int(os.environ.get("BENCH_JOINAGE", 4)),
+            frame_batch=int(os.environ.get("BENCH_BATCH", 1)),
+            smoother=os.environ.get("BENCH_SMOOTHER", "auto"),
             n_iters_per_frame=int(os.environ.get("BENCH_ITERS", 40))),
         debug_quiet=True)
 

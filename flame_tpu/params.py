@@ -143,6 +143,15 @@ class SolverParams:
     # Backstop: block for the head transfer when the newest staged
     # topology is older than this many frames.
     max_topology_staleness: int = 5
+    # Process 2 frames per device dispatch at steady state (pipeline
+    # .pair_step): update() buffers every other frame and dispatches the
+    # pair as ONE upload + ONE fused jit (create/track/detect x2 + sync +
+    # smooth + mesh). Per-frame tracking semantics are the exact 2-frame
+    # unroll of the single path; smoothing/mesh cadence becomes per-pair
+    # and output latency grows by one frame. Through the tunneled device
+    # the per-dispatch/per-transfer cost dominates (see NOTES.md), so
+    # this nearly halves the wall floor. 1 = classic per-frame path.
+    frame_batch: int = 1
     # Coalesce host->device uploads: when update() receives a HOST
     # (numpy uint8) image under async_topology, the freshly triangulated
     # topology words ride the next frame's image upload as one combined
@@ -164,6 +173,11 @@ class BAParams:
     damping: float = 1e-4  # Levenberg-Marquardt damping.
     huber_delta: float = 2.0  # Huber robust loss width (pixels).
     obs_capacity: int = 16384  # Fixed observation buffer size.
+    max_landmarks: int = 1024  # Landmark slots per solve window.
+    max_obs: int = 4096  # Observation rows per solve window.
+    # A solve whose final mean weighted residual^2 exceeds this (px^2) is
+    # considered diverged/contaminated: nothing is written back.
+    max_mean_cost: float = 9.0
     # Quadratic prior anchoring each pose to its input value (px^2 per
     # (m|rad)^2): BA refines within the external estimator's uncertainty
     # instead of free-floating on match noise. 0 disables.

@@ -1,0 +1,162 @@
+"""Two-frames-per-dispatch orchestration (solver.frame_batch=2,
+pipeline.pair_step): quality parity with the single-frame path on a
+synthetic sequence, flush semantics of the buffered frame, and the
+degenerate-topology guards that pair-scale staleness exposed
+(optimize.topology.MIN_EDGE_LENGTH, snapshot dedupe)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from flame_tpu.core.flame import Flame
+from flame_tpu.geometry import se3, camera
+from flame_tpu.params import Params, DetectionParams, SolverParams
+
+FX = 100.0
+W, H = 160, 120
+PLANE_Z = 5.0
+
+
+def tex(X, Y):
+    return (128 + 60 * np.sin(4.1 * X + 0.9 * Y) + 35 * np.cos(1.73 * X)
+            + 18 * np.sin(2.31 * Y) + 10 * np.sin(0.83 * X))
+
+
+def render(cam_x):
+    vv, uu = np.mgrid[0:H, 0:W].astype(np.float64)
+    X = (uu - W / 2) * PLANE_Z / FX + cam_x
+    Y = (vv - H / 2) * PLANE_Z / FX
+    return np.clip(tex(X, Y), 0, 255).astype(np.uint8)
+
+
+def make_flame(frame_batch):
+    params = Params(
+        feature_capacity=512, edge_capacity=2048, triangle_capacity=1024,
+        poseframe_capacity=8, min_height=-100.0, max_height=100.0,
+        idepth_init=0.05, idepth_var_init=0.25,
+        detection=DetectionParams(win_size=16),
+        solver=SolverParams(n_iters_per_frame=30, max_vertex_degree=16,
+                            async_topology=True, coalesce_uploads=True,
+                            frame_batch=frame_batch, smoother="vertex"),
+        debug_quiet=True)
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+    return Flame(W, H, K, camera.inv_k(K), params)
+
+
+def drive(fl, n, start=0):
+    for i in range(start, start + n):
+        cam_x = 0.15 * i
+        fl.update(i * 0.1, i, (se3.quat_identity(),
+                               jnp.array([cam_x, 0.0, 0.0])),
+                  render(cam_x), i % 2 == 0)
+
+
+@pytest.fixture(scope="module")
+def paired():
+    fl = make_flame(2)
+    drive(fl, 20)
+    return fl
+
+
+def test_pair_mode_engages(paired):
+    assert paired._dispatches >= 5  # pairs actually dispatched
+
+
+def test_pair_quality_matches_single(paired):
+    fl1 = make_flame(1)
+    drive(fl1, 20)
+    idm2 = paired.get_inverse_depth_map()
+    idm1 = fl1.get_inverse_depth_map()
+    cov2 = np.mean(~np.isnan(idm2))
+    cov1 = np.mean(~np.isnan(idm1))
+    err2 = np.nanmedian(np.abs(idm2 - 1 / PLANE_Z)) * PLANE_Z
+    err1 = np.nanmedian(np.abs(idm1 - 1 / PLANE_Z)) * PLANE_Z
+    assert cov2 > 0.9 * cov1
+    assert err2 < max(2.0 * err1, 0.01)
+
+
+def test_getter_flushes_pending_frame(paired):
+    # Drive an odd number of frames so one is buffered, then call a
+    # getter: the buffered frame must be processed (mesh getter path).
+    drive(paired, 1, start=20)
+    if paired._pair_pending is not None:
+        paired.get_inverse_depth_map()
+    assert paired._pair_pending is None
+
+
+def test_raw_idepths_accurate(paired):
+    verts, mu, var = paired.get_raw_idepths()
+    assert mu.shape[0] > 50
+    assert np.median(np.abs(mu - 1 / PLANE_Z)) * PLANE_Z < 0.05
+
+
+def test_failure_stats_and_mesh(paired):
+    s = paired.failure_stats()
+    assert s["updates"] > 0
+    mesh = paired.get_inverse_depth_mesh()
+    assert mesh["triangles"].shape[0] > 50
+    assert np.isfinite(mesh["vertices"]).all()
+
+
+def test_alpha_clamped():
+    """Degenerate (sub-pixel) edges must not produce exploding alpha
+    (the Chambolle-Pock instability found at pair-scale staleness)."""
+    from flame_tpu.optimize import topology
+    pos = jnp.asarray(np.array([[10.0, 10.0], [10.001, 10.0],
+                                [30.0, 10.0], [20.0, 25.0]], np.float32))
+    edges = np.array([[0, 1], [0, 2], [1, 3]], np.int64)
+    pad = np.zeros((16, 2), np.int64)
+    pad[:3] = edges
+    topo = topology.from_edges(
+        jnp.asarray(pad), 3, pos, jnp.asarray(pad),
+        jnp.zeros(16, bool), jnp.zeros(16), jnp.zeros(16), jnp.zeros(16),
+        16, 4, 4)
+    alpha = np.asarray(topo.alpha)
+    assert alpha[0] <= 1.0 / topology.MIN_EDGE_LENGTH + 1e-6
+    assert alpha[1] == pytest.approx(1.0 / 20.0)
+
+
+def test_capacity_truncation_counted():
+    """Overflowing a deliberately tiny triangle/edge capacity must be
+    counted, not silent (VERDICT r1 item 6)."""
+    from flame_tpu.core import pipeline
+    params = Params(
+        feature_capacity=256, edge_capacity=16, triangle_capacity=8,
+        poseframe_capacity=4, min_height=-1e6, max_height=1e6,
+        solver=SolverParams(max_vertex_degree=8, smoother="vertex"),
+        debug_quiet=True)
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+    fl = Flame(W, H, K, camera.inv_k(K), params)
+    rng = np.random.default_rng(0)
+    pk = np.zeros((256, 3), np.uint16)
+    flags = (pipeline.PACK_MEMBER | pipeline.PACK_CURR_VALID
+             | pipeline.PACK_FEAT_VALID)
+    for i in range(64):
+        pk[i, 0] = int(rng.uniform(10, 150) * pipeline.PACK_XY_SCALE)
+        pk[i, 1] = int(rng.uniform(10, 110) * pipeline.PACK_XY_SCALE)
+        pk[i, 2] = flags
+    res = fl._host_triangulate(pk)
+    assert res is not None
+    stats = fl.failure_stats()
+    assert stats["tris_truncated"] > 0
+    assert stats["edges_truncated"] > 0
+
+
+def test_snapshot_dedupe():
+    """Coincident packed positions are deduped before Delaunay."""
+    from flame_tpu.core import pipeline
+    fl = make_flame(1)
+    N = fl.params.feature_capacity
+    pk = np.zeros((N, 3), np.uint16)
+    # 4 members, two of them at the identical packed position.
+    xs = [(320, 240), (320, 240), (960, 240), (640, 720)]
+    for i, (x, y) in enumerate(xs):
+        pk[i, 0] = x
+        pk[i, 1] = y
+        pk[i, 2] = (pipeline.PACK_MEMBER | pipeline.PACK_CURR_VALID
+                    | pipeline.PACK_FEAT_VALID)
+    res = fl._host_triangulate(pk)
+    assert res is not None
+    buf, n_tris, tris_slots, edges_sorted, n_edges = res
+    assert n_tris == 1  # the duplicate collapsed: one triangle remains
+    assert 1 not in set(tris_slots.reshape(-1).tolist())

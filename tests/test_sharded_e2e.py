@@ -1,0 +1,96 @@
+"""End-to-end multi-device test: the FULL Flame pipeline (not just the
+track+smooth step) running under an 8-device mesh via
+parallel.orchestrator.ShardedFlame, with a depth-accuracy assertion
+(VERDICT r1 item 3). Runs on the virtual 8-device CPU platform from
+conftest.py."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flame_tpu.geometry import se3, camera
+from flame_tpu.params import Params, DetectionParams, SolverParams
+from flame_tpu.parallel import sharding
+from flame_tpu.parallel.orchestrator import ShardedFlame
+
+FX = 100.0
+W, H = 160, 120
+PLANE_Z = 5.0
+
+
+def tex(X, Y):
+    return (128 + 60 * np.sin(4.1 * X + 0.9 * Y) + 35 * np.cos(1.73 * X)
+            + 18 * np.sin(2.31 * Y) + 10 * np.sin(0.83 * X))
+
+
+def render(cam_x):
+    vv, uu = np.mgrid[0:H, 0:W].astype(np.float64)
+    X = (uu - W / 2) * PLANE_Z / FX + cam_x
+    Y = (vv - H / 2) * PLANE_Z / FX
+    return tex(X, Y).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def run_sharded():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    params = Params(
+        feature_capacity=512, edge_capacity=2048, triangle_capacity=1024,
+        poseframe_capacity=8, min_height=-100.0, max_height=100.0,
+        idepth_init=0.05, idepth_var_init=0.25,
+        detection=DetectionParams(win_size=16),
+        solver=SolverParams(n_iters_per_frame=30, max_vertex_degree=16),
+        debug_quiet=True)
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+    fl = ShardedFlame(W, H, K, camera.inv_k(K), params, mesh=mesh)
+    for i in range(14):
+        cam_x = 0.15 * i
+        fl.update(i * 0.1, i, (se3.quat_identity(),
+                               jnp.array([cam_x, 0.0, 0.0])),
+                  render(cam_x), i % 2 == 0)
+    return fl
+
+
+def test_state_is_sharded(run_sharded):
+    fl = run_sharded
+    # The persistent feature/graph state must actually live sharded over
+    # the mesh axis after real updates (not silently resharded to one
+    # device by some step's output sharding).
+    sh = fl._feats.idepth_mu.sharding
+    assert not sh.is_fully_replicated
+    assert len(sh.device_set) == 8
+
+
+def test_sharded_depth_accuracy(run_sharded):
+    fl = run_sharded
+    idm = fl.get_inverse_depth_map()
+    cov = np.mean(~np.isnan(idm))
+    assert cov > 0.5, cov
+    err = np.abs(idm[~np.isnan(idm)] - 1.0 / PLANE_Z) * PLANE_Z
+    assert np.median(err) < 0.02, np.median(err)
+
+
+def test_sharded_matches_single_device(run_sharded):
+    """The sharded pipeline must produce the same depths as the
+    single-device pipeline (same code, partitioned execution)."""
+    from flame_tpu.core.flame import Flame
+    fl1 = Flame(W, H, np.asarray(run_sharded.K),
+                np.asarray(run_sharded.Kinv), run_sharded.params)
+    for i in range(14):
+        cam_x = 0.15 * i
+        fl1.update(i * 0.1, i, (se3.quat_identity(),
+                                jnp.array([cam_x, 0.0, 0.0])),
+                   render(cam_x), i % 2 == 0)
+    a = run_sharded.get_inverse_depth_map()
+    b = fl1.get_inverse_depth_map()
+    both = ~np.isnan(a) & ~np.isnan(b)
+    assert both.mean() > 0.5
+    # Identical math up to float reduction order in segment-sums.
+    assert np.nanmedian(np.abs(a[both] - b[both])) < 1e-4
+
+
+def test_sharded_mesh_outputs(run_sharded):
+    mesh_out = run_sharded.get_inverse_depth_mesh()
+    assert mesh_out["triangles"].shape[0] > 30
+    assert np.isfinite(mesh_out["idepths"]).all()
