@@ -525,17 +525,33 @@ def _graph_sync_inner(params: Params, graph: nltgv2.GraphState,
         weight = weight * graph_scale
 
     if params.init_with_prediction and prev_idepthmap is not None:
-        # Initialize new vertices from the previous dense idepthmap when it
-        # has a value there, else fall back to the data term (reference
-        # flame.cc:2132-2158; the neighbor-mean fallback collapses to the
-        # data value since new vertices' neighbors are resolved here too).
+        # Initialize new vertices from the previous dense idepthmap when
+        # it has a value there; where it is NaN, fall back to the mean
+        # smoothed idepth of the vertex's surviving graph neighbors, then
+        # to the data term (reference flame.cc:2132-2158). The reference
+        # walks feats_to_update sequentially so an earlier-initialized
+        # new vertex can feed a later one; here all new vertices
+        # initialize in parallel from the survivors only.
         H, W = prev_idepthmap.shape
         xi = jnp.clip(jnp.floor(curr.xy[:, 0] + 0.5).astype(jnp.int32),
                       0, W - 1)
         yi = jnp.clip(jnp.floor(curr.xy[:, 1] + 0.5).astype(jnp.int32),
                       0, H - 1)
         pred = prev_idepthmap[yi, xi] / graph_scale
-        init_x = jnp.where(jnp.isnan(pred), data_term, pred)
+
+        V = graph.x.shape[0]
+        lo = topo.edges[:, 0]
+        hi = topo.edges[:, 1]
+        good = prev_in_graph & member  # qualified neighbor (weight > 0)
+        w_lo = (topo.edge_mask & good[hi]).astype(jnp.float32)
+        w_hi = (topo.edge_mask & good[lo]).astype(jnp.float32)
+        num = jax.ops.segment_sum(w_lo * x_surv[hi], lo, num_segments=V) \
+            + jax.ops.segment_sum(w_hi * x_surv[lo], hi, num_segments=V)
+        den = jax.ops.segment_sum(w_lo, lo, num_segments=V) \
+            + jax.ops.segment_sum(w_hi, hi, num_segments=V)
+        nb_mean = num / jnp.maximum(den, 1.0)
+        fallback = jnp.where(den > 0, nb_mean, data_term)
+        init_x = jnp.where(jnp.isnan(pred), fallback, pred)
     else:
         init_x = data_term
 
