@@ -1053,9 +1053,13 @@ class Flame:
         self._flush_pair()
         keep = set(int(i) for i in keep_ids)
         if self._curr_pf_id is not None and self._curr_pf_id not in keep:
-            if not self.params.debug_quiet:
-                print("flame_tpu: current poseframe not in keep list")
-            return
+            # Hard contract, matching the reference's assumption that the
+            # current poseframe survives pruning (flame.cc:554-706 never
+            # deletes curr_pf_): silently ignoring the request would leave
+            # an external estimator's bookkeeping out of sync.
+            raise ValueError(
+                f"prune_poseframes: current poseframe "
+                f"{self._curr_pf_id} missing from keep_ids")
 
         kill = {fid: slot for fid, slot in self._pf_slot_by_id.items()
                 if fid not in keep}

@@ -98,6 +98,15 @@ def test_failure_stats_and_mesh(paired):
     assert np.isfinite(mesh["vertices"]).all()
 
 
+def test_prune_without_current_pf_raises(paired):
+    ids = sorted(paired._pf_slot_by_id.keys())
+    assert len(ids) >= 2
+    with pytest.raises(ValueError):
+        paired.prune_poseframes(ids[:-1])  # drops the current poseframe
+    # State untouched by the rejected call.
+    assert sorted(paired._pf_slot_by_id.keys()) == ids
+
+
 def test_alpha_clamped():
     """Degenerate (sub-pixel) edges must not produce exploding alpha
     (the Chambolle-Pock instability found at pair-scale staleness)."""
