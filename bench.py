@@ -70,13 +70,18 @@ def main():
             # Experiment knobs (default production values).
             topology_lag=int(os.environ.get("BENCH_LAG", 2)),
             # Swept on-device (NOTES.md): stride 3 + join 4 reads the
-            # packed transfer every 3rd frame and bounds the head join at
-            # 4 frames — 85 fps median vs 72 at stride 1/join 3, with
-            # unchanged coverage/error (topology staleness is masked
-            # inert and detection inserts on device).
+            # packed transfer every 3rd dispatch and bounds the head join
+            # at 4 frames — best of the r1 sweep, with unchanged
+            # coverage/error (topology staleness is masked inert and
+            # detection inserts on device).
             fetch_stride=int(os.environ.get("BENCH_STRIDE", 3)),
             join_age=int(os.environ.get("BENCH_JOINAGE", 4)),
-            frame_batch=int(os.environ.get("BENCH_BATCH", 1)),
+            # Two frames per device dispatch (pipeline.pair_step): ONE
+            # upload + ONE jit per pair halves the per-frame RPC/transfer
+            # cost that dominates through the tunneled device. Measured
+            # 2026-08-20: 96.6 median / 102-106 clean windows vs 54-70 at
+            # frame_batch=1 in the same tunnel phase, same coverage/error.
+            frame_batch=int(os.environ.get("BENCH_BATCH", 2)),
             smoother=os.environ.get("BENCH_SMOOTHER", "auto"),
             n_iters_per_frame=int(os.environ.get("BENCH_ITERS", 40))),
         debug_quiet=True)
@@ -86,8 +91,13 @@ def main():
     fl = Flame(W, H, K, Kinv, params)
 
     # Pre-render frames so host rendering is off the clock.
-    n_warm = 8
-    n_windows, win_len = 9, 8
+    # Warmup must cover a FULL steady-state cycle, not just the first
+    # dispatches: the first packed fetch is staged at dispatch
+    # fetch_stride, joined ~join_age frames later, triangulated async,
+    # and applied one pair after that (~frame 12 at the defaults) — only
+    # then has every jit variant on the steady-state path executed once.
+    n_warm = 16
+    n_windows, win_len = 11, 8
     n_meas = n_windows * win_len
     frames = [render(0.08 * i) for i in range(n_warm + n_meas)]
 
@@ -100,6 +110,10 @@ def main():
     # charges per transfer, not per byte — see solver.coalesce_uploads).
     for i in range(n_warm):
         fl.update(i * 0.1, i, pose(i), frames[i], i % 2 == 0)
+        if i % 8 == 7:
+            # Drain mid/post-warmup: compiles and first-use executable
+            # deserializations complete HERE, not in window 1.
+            np.asarray(fl._idepthmap[0, 0])
 
     # Measure in windows, each ending with a REAL device drain (on the
     # tunneled device block_until_ready returns at RPC-accept, NOT
