@@ -76,7 +76,7 @@ def main():
             # detection inserts on device).
             fetch_stride=int(os.environ.get("BENCH_STRIDE", 3)),
             join_age=int(os.environ.get("BENCH_JOINAGE", 4)),
-            # Two frames per device dispatch (pipeline.pair_step): ONE
+            # Two frames per device dispatch (pipeline.batch_step): ONE
             # upload + ONE jit per pair halves the per-frame RPC/transfer
             # cost that dominates through the tunneled device. Measured
             # 2026-08-20: 96.6 median / 102-106 clean windows vs 54-70 at
@@ -97,7 +97,14 @@ def main():
     # and applied one pair after that (~frame 12 at the defaults) — only
     # then has every jit variant on the steady-state path executed once.
     n_warm = 16
-    n_windows, win_len = 11, 8
+    # 25 windows spread the measurement over a long enough span that the
+    # shared tunnel's multi-second stall phases (config-independent; see
+    # NOTES.md) are SAMPLED rather than dominant: with few windows a
+    # single phase could cover half of them and own the median.
+    # win_len stays divisible by frame_batch so every window's frames are
+    # fully dispatched before its drain (a buffered, undispatched frame
+    # would otherwise count as processed).
+    n_windows, win_len = 25, 8
     n_meas = n_windows * win_len
     frames = [render(0.08 * i) for i in range(n_warm + n_meas)]
 
@@ -162,7 +169,9 @@ def main():
         import jax
         from flame_tpu.core.pipeline import resolve_smoother
         from flame_tpu.optimize import nltgv2
-        K_IT = 600
+        # Large iteration count so device time (~0.02 ms/iter) dominates
+        # the tunnel's fetch-latency noise in the measurement.
+        K_IT = 4000
         if resolve_smoother(params, params.feature_capacity) == "pallas":
             from flame_tpu.optimize import pallas_smoother as ps
             V = params.feature_capacity

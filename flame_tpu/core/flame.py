@@ -196,13 +196,13 @@ class Flame:
         # update() never blocks on a device->host round trip except the
         # staleness backstop.
         self._packed_queue = collections.deque()
-        # Pair-dispatch state (solver.frame_batch == 2): the buffered
-        # first frame of a pair, the host copy of the last APPLIED
-        # topology words (re-uploaded with every pair — per-transfer cost
+        # Batch-dispatch state (solver.frame_batch >= 2): the buffered
+        # first frames of a batch, the host copy of the last APPLIED
+        # topology words (re-uploaded with every batch — per-transfer cost
         # dominates marginal bytes through the tunnel), the pose of the
         # frame whose pixel coordinates the graph currently holds, and a
-        # dispatch counter (fetch_stride cadence under pairing).
-        self._pair_pending = None
+        # dispatch counter (fetch_stride cadence under batching).
+        self._batch_pending = []
         self._last_topo_host = None
         self._last_sync_pose = None
         self._dispatches = 0
@@ -256,26 +256,24 @@ class Flame:
         q = jnp.asarray(q, jnp.float32)
         t = jnp.asarray(t, jnp.float32)
 
-        if self._pair_ok(img):
-            if self._pair_pending is None:
-                # Buffer the first frame of a pair; the next update()
-                # dispatches both as one fused device step (+1 frame of
-                # output latency, half the dispatches/transfers).
-                self._pair_pending = (time, frame_id, q, t, img,
-                                      bool(is_poseframe), q_np, t_np)
+        if self._batch_ok(img):
+            # Buffer until frame_batch frames are pending, then dispatch
+            # them as one fused device step (+frame_batch-1 frames of
+            # output latency, 1/frame_batch the dispatches/transfers).
+            self._batch_pending.append((time, frame_id, q, t, img,
+                                        bool(is_poseframe), q_np, t_np))
+            if len(self._batch_pending) < int(self.params.solver.frame_batch):
                 self.stats.tock("update")
                 return True
-            first = self._pair_pending
-            self._pair_pending = None
-            return self._update_pair(
-                first, (time, frame_id, q, t, img, bool(is_poseframe),
-                        q_np, t_np))
-        self._flush_pair()
+            frames = self._batch_pending
+            self._batch_pending = []
+            return self._update_batch(frames)
+        self._flush_batch()
         return self._update_single(time, frame_id, q, t, img, is_poseframe,
                                    q_np, t_np)
 
-    def _pair_ok(self, img) -> bool:
-        """Steady-state eligibility for the 2-frame fused dispatch."""
+    def _batch_ok(self, img) -> bool:
+        """Steady-state eligibility for the N-frame fused dispatch."""
         p = self.params
         return (p.solver.frame_batch >= 2 and p.solver.async_topology
                 and p.solver.coalesce_uploads
@@ -285,16 +283,17 @@ class Flame:
                 and isinstance(img, np.ndarray) and img.dtype == np.uint8
                 and (self._n_valid > 0 or bool(self._packed_queue)))
 
-    def _flush_pair(self):
-        """Drain a buffered first-of-pair frame through the single-frame
-        path (called when pairing disengages or an external API needs
-        every update reflected in state)."""
-        if self._pair_pending is None:
+    def _flush_batch(self):
+        """Drain buffered batch frames through the single-frame path
+        (called when batching disengages or an external API needs every
+        update reflected in state)."""
+        if not self._batch_pending:
             return
-        (_, fid, q, t, img, is_pf, qn, tn) = self._pair_pending
-        self._pair_pending = None
-        self.stats.tick("update")  # scope the flushed frame's own timing
-        self._update_single(None, fid, q, t, img, is_pf, qn, tn)
+        pending = self._batch_pending
+        self._batch_pending = []
+        for (_, fid, q, t, img, is_pf, qn, tn) in pending:
+            self.stats.tick("update")  # scope the flushed frame's timing
+            self._update_single(None, fid, q, t, img, is_pf, qn, tn)
         self.stats.tick("update")  # restore the caller's frame timer
 
     def _update_single(self, time, frame_id, q, t, img, is_poseframe,
@@ -538,17 +537,17 @@ class Flame:
         self.num_data_updates += 1
         return True
 
-    def _update_pair(self, first, second) -> bool:
-        """Dispatch TWO buffered frames as one fused device step
-        (pipeline.pair_step): ONE coalesced upload (img1 | img2 | topology
-        words) + ONE jit covering create/track/detect for both frames and
-        the post-Delaunay section. Per-frame tracking semantics are the
-        exact 2-frame unroll of _update_single; smoothing/mesh run at pair
-        cadence (the reference's free-running graph thread likewise
-        decouples smoothing from the camera rate, flame.cc:98-112)."""
+    def _update_batch(self, frames) -> bool:
+        """Dispatch frame_batch buffered frames as one fused device step
+        (pipeline.batch_step): ONE coalesced upload (img_0 | ... | img_B-1
+        | topology words) + ONE jit covering create/track/detect for every
+        frame and the post-Delaunay section. Per-frame tracking semantics
+        are the exact sequential semantics (a lax.scan over the per-frame
+        body); smoothing/mesh run at batch cadence (the reference's
+        free-running graph thread likewise decouples smoothing from the
+        camera rate, flame.cc:98-112)."""
         p = self.params
-        (_t1, fid1, q1, t1, img1, pf1, q1np, t1np) = first
-        (_t2, fid2, q2, t2, img2, pf2, q2np, t2np) = second
+        B = len(frames)
         self._coalesce = True
 
         prev_q, prev_t = self._fnew.q, self._fnew.t
@@ -566,31 +565,30 @@ class Flame:
                     qn if qn is not None else np.asarray(q, np.float64),
                     tn if tn is not None else np.asarray(t, np.float64))
 
-        if pf1:
-            _pf_bookkeeping(fid1, q1, t1, q1np, t1np)
-        pf_slot_a = self._curr_pf_slot
-        det1 = bool(pf1 and (p.detection.continuous
-                             or self.num_data_updates < 1))
-        self.num_imgs += 1
-        if pf2:
-            _pf_bookkeeping(fid2, q2, t2, q2np, t2np)
-        pf_slot_b = self._curr_pf_slot
-        det2 = bool(pf2 and (p.detection.continuous
-                             or self.num_data_updates < 1))
-        self.num_imgs += 1
+        fids, qs, ts = [], [], []
+        pf_flags, det_flags, pf_slots, id_bases = [], [], [], []
+        for (_t, fid, q, t, img, is_pf, qnp, tnp) in frames:
+            if is_pf:
+                _pf_bookkeeping(fid, q, t, qnp, tnp)
+            det = bool(is_pf and (p.detection.continuous
+                                  or self.num_data_updates < 1))
+            self.num_imgs += 1
+            fids.append(fid)
+            qs.append(q)
+            ts.append(t)
+            pf_flags.append(bool(is_pf))
+            det_flags.append(det)
+            pf_slots.append(self._curr_pf_slot)
+            id_bases.append(self._feat_id_counter)
+            if det:
+                self._feat_id_counter += self._add_cap
 
-        id_base1 = self._feat_id_counter
-        if det1:
-            self._feat_id_counter += self._add_cap
-        id_base2 = self._feat_id_counter
-        if det2:
-            self._feat_id_counter += self._add_cap
-
-        # ONE upload: img1 | img2 | topology words. A freshly adopted
-        # triangulation applies this dispatch (carry_fresh); otherwise the
-        # last applied topology rides again — per-TRANSFER cost dominates
-        # the marginal bytes through the tunnel, and re-applying the same
-        # edges with carry_fresh=False passes the duals through untouched.
+        # ONE upload: img_0 | ... | img_B-1 | topology words. A freshly
+        # adopted triangulation applies this dispatch (carry_fresh);
+        # otherwise the last applied topology rides again — per-TRANSFER
+        # cost dominates the marginal bytes through the tunnel, and
+        # re-applying the same edges with carry_fresh=False passes the
+        # duals through untouched.
         hw = self.height * self.width
         carry_fresh = False
         if self._pending_topo is not None:
@@ -608,34 +606,34 @@ class Flame:
             self._staged_tris = None
             self._staged_fresh = False
             carry_fresh = True
-        up = np.empty(2 * hw + 2 * self._topo_words, np.uint8)
-        up[:hw] = img1.reshape(-1)
-        up[hw: 2 * hw] = img2.reshape(-1)
-        up[2 * hw:] = self._last_topo_host.view(np.uint8)
+        up = np.empty(B * hw + 2 * self._topo_words, np.uint8)
+        for b, (_t, fid, q, t, img, is_pf, qnp, tnp) in enumerate(frames):
+            up[b * hw: (b + 1) * hw] = img.reshape(-1)
+        up[B * hw:] = self._last_topo_host.view(np.uint8)
         buf_dev = jnp.asarray(up)
 
         self.stats.tick("update_idepths")
-        (fnew2, stack2, feats, curr, member, stat_vec, obs1, obs2,
+        (fnew2, stack2, feats, curr, member, stat_vec, obs_b,
          packed_dev, graph, vtx_idepths, normals, tri_validity, idepthmap,
-         graph_scale, coverage) = pipeline.pair_step(
+         graph_scale, coverage) = pipeline.batch_step(
             p, self.K, self.Kinv, self._stack, self._feats, self._graph,
             self._graph_scale_dev, buf_dev,
-            jnp.int32(fid1), q1, t1, jnp.int32(fid2), q2, t2,
-            pf_slot_a, pf_slot_b, prev_q, prev_t, sync_q, sync_t,
-            jnp.int32(id_base1), jnp.int32(id_base2), self._idepthmap,
+            np.asarray(fids, np.int32), tuple(qs), tuple(ts),
+            np.asarray(pf_flags, bool), np.asarray(det_flags, bool),
+            np.asarray(pf_slots, np.int32),
+            np.asarray(id_bases, np.int32),
+            prev_q, prev_t, sync_q, sync_t, self._idepthmap,
             jnp.asarray(carry_fresh),
-            pf1=pf1, pf2=pf2, det1=det1, det2=det2,
-            height=self.height, width=self.width)
+            n_frames=B, height=self.height, width=self.width)
         self.stats.tock("update_idepths")
 
         self._fprev = self._fnew
         self._fnew = fnew2
-        if stack2 is not None:
-            self._stack = stack2
+        self._stack = stack2
         self._feats = feats
         self._curr = curr
         self._last_stats_dev = stat_vec
-        self._last_track_obs = obs2
+        self._last_track_obs = jax.tree.map(lambda a: a[-1], obs_b)
         self._graph = graph
         self._vtx_idepths = vtx_idepths
         self._vtx_normals = normals
@@ -643,7 +641,8 @@ class Flame:
         self._idepthmap = idepthmap
         self._graph_scale_dev = graph_scale
         self._coverage = coverage
-        self._last_sync_pose = (q2, t2)
+        q_last, t_last = frames[-1][2], frames[-1][3]
+        self._last_sync_pose = (q_last, t_last)
         self._tris_staged = (self._tris_np, self._n_tris)
         if p.do_nltgv2:
             self.num_regularizer_updates += p.solver.n_iters_per_frame
@@ -681,12 +680,12 @@ class Flame:
                                        self.num_imgs))
         self._adopt_tri_result(force=False)
 
-        if self._ba is not None and (pf1 or pf2):
+        if self._ba is not None and any(pf_flags):
             self.stats.tick("ba")
-            if pf1:
-                self._ba.ingest(self, obs1, fid1)
-            if pf2:
-                self._ba.ingest(self, obs2, fid2)
+            for b, (_tm, fid, *_rest) in enumerate(frames):
+                if pf_flags[b]:
+                    self._ba.ingest(
+                        self, jax.tree.map(lambda a, b=b: a[b], obs_b), fid)
             if len(self._pf_slot_by_id) >= 3:
                 self._ba.solve(self)
             self.stats.tock("ba")
@@ -698,18 +697,18 @@ class Flame:
 
         ms = self.stats.tock("update")
         if not p.debug_quiet:
-            print(f"flame_tpu/update_pair({self.num_data_updates}, "
+            print(f"flame_tpu/update_batch({self.num_data_updates}, "
                   f"{self.num_regularizer_updates}) = {ms:4.1f}ms "
                   f"feats={self._n_valid} vtx={self._n_members} "
                   f"tris={self._n_tris}")
         if ms > 0:
-            self.stats.ema("fps_max", 2000.0 / ms)
+            self.stats.ema("fps_max", B * 1000.0 / ms)
         wall = self.stats.tock("fps")
         if wall > 0:
-            self.stats.ema("fps", 2000.0 / wall)
+            self.stats.ema("fps", B * 1000.0 / wall)
         self.stats.tick("fps")
 
-        self.num_data_updates += 2
+        self.num_data_updates += B
         return True
 
     # ------------------------------------------------------------------
@@ -1034,7 +1033,7 @@ class Flame:
     def update_poseframe_poses(self, poses: Dict[int, Tuple]):
         """External pose updates (e.g. from BA / pose-graph relinearization);
         reference updatePoseFramePoses (flame.h:155-164)."""
-        self._flush_pair()
+        self._flush_batch()
         for fid, (q, t) in poses.items():
             slot = self._pf_slot_by_id.get(fid)
             if slot is not None:
@@ -1050,7 +1049,7 @@ class Flame:
         False (external callers get an immediately consistent validity
         mirror; the internal auto-evict path defers to the next packed
         transfer)."""
-        self._flush_pair()
+        self._flush_batch()
         keep = set(int(i) for i in keep_ids)
         if self._curr_pf_id is not None and self._curr_pf_id not in keep:
             # Hard contract, matching the reference's assumption that the
@@ -1117,7 +1116,7 @@ class Flame:
         self._staged_frame = None
         self._pending_topo = None
         self._staged_offset = 0
-        self._pair_pending = None
+        self._batch_pending = []
         self._last_topo_host = None
         self._last_sync_pose = None
         self._packed_queue.clear()
@@ -1136,7 +1135,7 @@ class Flame:
 
     def get_inverse_depth_map(self) -> np.ndarray:
         """Dense idepthmap over all triangles (reference flame.h:207-210)."""
-        self._flush_pair()
+        self._flush_batch()
         return np.asarray(self._idepthmap)
 
     def _ensure_tris(self):
@@ -1156,7 +1155,7 @@ class Flame:
     def get_filtered_inverse_depth_map(self) -> np.ndarray:
         """Dense idepthmap over filter-passing triangles only
         (reference flame.h:217-228)."""
-        self._flush_pair()
+        self._flush_batch()
         self._ensure_tris()
         img = rasterize.rasterize_auto(
             self._graph.pos, self._tris, self._vtx_idepths,
@@ -1167,7 +1166,7 @@ class Flame:
         """Compacted mesh (reference flame.h:233-249): dict with vertices,
         idepths, w1, w2, normals, triangles, tri_validity, edges (all np,
         triangle/edge indices into the compacted vertex list)."""
-        self._flush_pair()
+        self._flush_batch()
         self._ensure_tris()
         member = np.asarray(self._graph.vtx_mask)
         slots = np.nonzero(member)[0]
@@ -1196,7 +1195,7 @@ class Flame:
     def get_raw_idepths(self):
         """Valid current-frame features (reference flame.h:255-273):
         (vertices (M, 2), idepth_mu (M,), idepth_var (M,))."""
-        self._flush_pair()
+        self._flush_batch()
         v = np.asarray(self._curr.valid)
         return (np.asarray(self._curr.xy)[v],
                 np.asarray(self._curr.idepth)[v],
@@ -1285,7 +1284,7 @@ class Flame:
         return img
 
     def failure_stats(self) -> Dict[str, int]:
-        self._flush_pair()
+        self._flush_batch()
         s = np.asarray(self._last_stats_dev)
         self.stats.set("num_idepth_updates", int(s[pipeline.STAT_UPDATES]))
         return {

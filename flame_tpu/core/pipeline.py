@@ -365,51 +365,60 @@ def insert_detections(params: Params, feats: FeatureState, det_out,
                      + jnp.arange(C, dtype=jnp.int32)))
 
 
+def _detect_and_insert(params: Params, K, Kinv, stack: FrameStack,
+                       curr_pf_slot, feats3: FeatureState,
+                       curr: CurrFeatures, fnew: Frame, prev_q, prev_t,
+                       id_base, seed_map) -> FeatureState:
+    """Poseframe detection + device-side winner insertion (the detection
+    block shared by every per-frame body — one definition)."""
+    from flame_tpu.core import detection
+
+    H, W = fnew.gradx.shape
+    row_offset = H // 3 if params.detection.do_letterbox else 0
+    if params.photo_error_num_pfs > 0:
+        # Best-comparison-poseframe selection (reference getPoseFrame,
+        # flame.cc:775-820): score up to photo_error_num_pfs past
+        # poseframes and use the winner's pose for the detection
+        # epipolar direction, falling back to the previous frame when
+        # no scored candidate survives. (The reference's live grid
+        # detector derives its epiline from the previous frame,
+        # flame.cc:1206-1209 — the selected frame fed only the
+        # commented-out photometric detector — so using the winner
+        # here is a strict robustness improvement: detection keeps a
+        # usable baseline even when the previous frame is nearly
+        # coincident with the poseframe.)
+        from flame_tpu.core import keyframe
+        cq, ct, cok = keyframe.best_comparison_pose(
+            W, H, K, Kinv, stack.q, stack.t, stack.frame_id,
+            stack.valid, curr_pf_slot, params.photo_error_num_pfs)
+        cmp_q = jnp.where(cok, cq, prev_q)
+        cmp_t = jnp.where(cok, ct, prev_t)
+    else:
+        cmp_q, cmp_t = prev_q, prev_t
+    geo = epipolar.load_relative(
+        K, Kinv, (stack.q[curr_pf_slot], stack.t[curr_pf_slot]),
+        (cmp_q, cmp_t))
+    det_out = detection.detect_packed(
+        geo, stack.gradx[curr_pf_slot], stack.grady[curr_pf_slot],
+        curr.xy, curr.valid, params.detection.min_grad_mag,
+        params.detection.win_size, params.border, row_offset)
+    return insert_detections(params, feats3, det_out, curr_pf_slot,
+                             seed_map, id_base)
+
+
 def _frame_inner(params: Params, K, Kinv, stack: FrameStack,
                  feats: FeatureState, fnew: Frame, curr_pf_slot,
                  do_detect: bool, prev_q, prev_t, id_base, seed_map):
     """track_project_sync + (optional) poseframe detection + device-side
     winner insertion — the shared per-frame body of track_step /
-    frame_track_step / pair_step (one definition; silent divergence
+    frame_track_step / batch_step (one definition; silent divergence
     between the call sites would otherwise be invisible)."""
-    from flame_tpu.core import detection
-
     feats3, curr, member, stats, obs = track_project_sync.__wrapped__(
         params, K, Kinv, stack, feats, fnew, curr_pf_slot)
-
     if do_detect:
-        H, W = fnew.gradx.shape
-        row_offset = H // 3 if params.detection.do_letterbox else 0
-        if params.photo_error_num_pfs > 0:
-            # Best-comparison-poseframe selection (reference getPoseFrame,
-            # flame.cc:775-820): score up to photo_error_num_pfs past
-            # poseframes and use the winner's pose for the detection
-            # epipolar direction, falling back to the previous frame when
-            # no scored candidate survives. (The reference's live grid
-            # detector derives its epiline from the previous frame,
-            # flame.cc:1206-1209 — the selected frame fed only the
-            # commented-out photometric detector — so using the winner
-            # here is a strict robustness improvement: detection keeps a
-            # usable baseline even when the previous frame is nearly
-            # coincident with the poseframe.)
-            from flame_tpu.core import keyframe
-            cq, ct, cok = keyframe.best_comparison_pose(
-                W, H, K, Kinv, stack.q, stack.t, stack.frame_id,
-                stack.valid, curr_pf_slot, params.photo_error_num_pfs)
-            cmp_q = jnp.where(cok, cq, prev_q)
-            cmp_t = jnp.where(cok, ct, prev_t)
-        else:
-            cmp_q, cmp_t = prev_q, prev_t
-        geo = epipolar.load_relative(
-            K, Kinv, (stack.q[curr_pf_slot], stack.t[curr_pf_slot]),
-            (cmp_q, cmp_t))
-        det_out = detection.detect_packed(
-            geo, stack.gradx[curr_pf_slot], stack.grady[curr_pf_slot],
-            curr.xy, curr.valid, params.detection.min_grad_mag,
-            params.detection.win_size, params.border, row_offset)
-        feats3 = insert_detections(params, feats3, det_out, curr_pf_slot,
-                                   seed_map, id_base)
-
+        feats3 = _detect_and_insert(params, K, Kinv, stack, curr_pf_slot,
+                                    feats3, curr, fnew, prev_q, prev_t,
+                                    id_base, seed_map)
     return feats3, curr, member, stats, obs
 
 
@@ -733,85 +742,119 @@ post_delaunay_step = functools.partial(
                               "topo_offset"))(_post_delaunay_inner)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "params", "pf1", "pf2", "det1", "det2", "height", "width"))
-def pair_step(params: Params, K, Kinv, stack: FrameStack,
-              feats: FeatureState, graph: nltgv2.GraphState, graph_scale,
-              buf, fid1, q1, t1, fid2, q2, t2,
-              pf_slot_a, pf_slot_b, prev_q, prev_t,
-              sync_prev_q, sync_prev_t,
-              id_base1, id_base2, seed_map, carry_fresh,
-              pf1: bool, pf2: bool, det1: bool, det2: bool,
-              height: int = 0, width: int = 0):
-    """TWO frames per device dispatch: a 2-frame unroll of the per-frame
-    pipeline (create -> [pf insert] -> track/detect for each frame), then
-    one post-Delaunay section (topology decode + graph sync + smoothing +
-    mesh outputs) on the second frame's state, all fused into ONE dispatch.
+@functools.partial(jax.jit, static_argnames=("params", "n_frames",
+                                             "height", "width"))
+def batch_step(params: Params, K, Kinv, stack: FrameStack,
+               feats: FeatureState, graph: nltgv2.GraphState, graph_scale,
+               buf, fids, qs, ts, pf_flags, det_flags, pf_slots, id_bases,
+               prev_q, prev_t, sync_prev_q, sync_prev_t, seed_map,
+               carry_fresh, n_frames: int = 2, height: int = 0,
+               width: int = 0):
+    """N frames per device dispatch: a lax.scan over the per-frame body
+    (create -> [poseframe insert] -> track -> [detect]) followed by one
+    post-Delaunay section (topology decode + graph sync + smoothing +
+    mesh outputs) on the last frame's state — all fused into ONE dispatch.
 
     Rationale: through the tunneled device the per-TRANSFER / per-dispatch
     cost dominates the per-frame budget (~27 ms RTT; see NOTES.md), so
-    halving dispatches and uploads nearly halves the wall floor. Each
-    frame's tracking/measurement/fusion semantics are EXACTLY the
-    sequential per-frame semantics (the unroll shares one compiled
-    program, not one set of measurements); only the mesh/smoothing
-    cadence becomes per-pair — the reference's free-running graph thread
-    likewise decouples smoothing from the camera rate (flame.cc:98-112).
+    dividing dispatches and uploads by n_frames divides the wall floor's
+    fixed term by the same factor. Each frame's tracking/measurement/
+    fusion semantics are EXACTLY the sequential per-frame semantics (the
+    scan shares one compiled body, not one set of measurements); only the
+    mesh/smoothing cadence becomes per-batch — the reference's
+    free-running graph thread likewise decouples smoothing from the
+    camera rate (flame.cc:98-112). Output latency grows by n_frames-1
+    frames.
 
-    buf: ONE coalesced uint8 upload [img1 (H*W) | img2 (H*W) | topology
-    words (u16 view, same layout as flame._host_triangulate; re-uploaded
-    each pair — the tunnel charges per transfer, not per byte)].
-    pf_slot_a/b: the current poseframe slot during frame1/frame2 tracking.
-    prev_q/prev_t: pose of the frame before frame1 (frame1's detection
-    comparison frame); frame2's is frame1. sync_prev_q/t: pose of the
-    frame whose pixel coordinates the graph currently holds (the previous
-    pair's second frame).
+    Versus a static n_frames-fold unroll (the old pair_step), the scan
+    compiles the body ONCE (cold-compile time is ~independent of
+    n_frames) and the poseframe/detection pattern is DATA (pf_flags /
+    det_flags), so every batch shape shares one executable instead of
+    compiling per static flag combination.
 
-    Returns (fnew2, stack' or None, feats', curr2, member2, stats,
-    obs1, obs2, packed, graph', vtx_idepths, normals, tri_validity,
-    idepthmap, graph_scale', coverage).
+    buf: ONE coalesced uint8 upload [img_0 | ... | img_{B-1} | topology
+    words (u16 view, layout of flame._host_triangulate; re-uploaded each
+    batch — the tunnel charges per transfer, not per byte)].
+    qs/ts: length-B tuples of (4,)/(3,) pose arrays (stacked inside the
+    jit — stacking eagerly on the host would cost an extra device RPC).
+    pf_slots[b]: the current poseframe slot DURING frame b's tracking.
+    prev_q/prev_t: pose of the frame before the batch (frame 0's
+    detection comparison frame); frame b's is frame b-1. sync_prev_q/t:
+    pose of the frame whose pixel coordinates the graph currently holds
+    (the previous batch's last frame).
+
+    Returns (fnew_last, stack', feats', curr_last, member_last, stats,
+    obs_stacked, packed, graph', vtx_idepths, normals, tri_validity,
+    idepthmap, graph_scale', coverage); obs_stacked is the per-frame
+    TrackObs pytree with a leading (n_frames,) axis (BA ingests the
+    poseframe rows).
     """
     from flame_tpu.core import frame as frame_mod
 
+    B = n_frames
     hw = height * width
-    img1 = buf[:hw].reshape(height, width)
-    img2 = buf[hw: 2 * hw].reshape(height, width)
+    pad = params.pad
 
-    f1 = frame_mod.create.__wrapped__(fid1, q1, t1, img1, params.pad)
-    if pf1:
-        stack = frame_mod.insert.__wrapped__(stack, pf_slot_a, f1)
-    feats, curr1, member1, stats1, obs1 = _frame_inner(
-        params, K, Kinv, stack, feats, f1, pf_slot_a, det1,
-        prev_q, prev_t, id_base1, seed_map)
+    qs = jnp.stack([q.astype(jnp.float32) for q in qs])
+    ts = jnp.stack([t.astype(jnp.float32) for t in ts])
 
-    f2 = frame_mod.create.__wrapped__(fid2, q2, t2, img2, params.pad)
-    if pf2:
-        stack = frame_mod.insert.__wrapped__(stack, pf_slot_b, f2)
-    feats, curr2, member2, stats2, obs2 = _frame_inner(
-        params, K, Kinv, stack, feats, f2, pf_slot_b, det2,
-        q1, t1, id_base2, seed_map)
+    def body(carry, x):
+        stack, feats, pq, pt = carry
+        off, fid, q, t, pf, det, slot, id_base = x
+        img = jax.lax.dynamic_slice(buf, (off,), (hw,)).reshape(
+            height, width)
+        f = frame_mod.create.__wrapped__(fid, q, t, img, pad)
+        stack = jax.lax.cond(
+            pf, lambda s: frame_mod.insert.__wrapped__(s, slot, f),
+            lambda s: s, stack)
+        feats, curr, member, stats, obs = _frame_inner(
+            params, K, Kinv, stack, feats, f, slot, False, pq, pt,
+            id_base, seed_map)
+        feats = jax.lax.cond(
+            det,
+            lambda fs: _detect_and_insert(params, K, Kinv, stack, slot,
+                                          fs, curr, f, pq, pt, id_base,
+                                          seed_map),
+            lambda fs: fs, feats)
+        return (stack, feats, q, t), (f, curr, member, stats, obs)
 
-    packed = pack_track_outputs(feats, curr2, member2)
+    xs = (jnp.arange(B, dtype=jnp.int32) * hw,
+          jnp.asarray(fids, jnp.int32), qs, ts,
+          jnp.asarray(pf_flags, bool), jnp.asarray(det_flags, bool),
+          jnp.asarray(pf_slots, jnp.int32),
+          jnp.asarray(id_bases, jnp.int32))
+    (stack, feats, _, _), (fs, currs, members, stats_b, obs_b) = \
+        jax.lax.scan(body, (stack, feats, prev_q.astype(jnp.float32),
+                            prev_t.astype(jnp.float32)), xs)
+
+    f_last = jax.tree.map(lambda a: a[-1], fs)
+    curr = jax.tree.map(lambda a: a[-1], currs)
+    member = members[-1]
+    stats = stats_b.sum(axis=0)
+    packed = pack_track_outputs.__wrapped__(feats, curr, member)
 
     (graph, vtx_idepths, normals, tri_validity, idepthmap, graph_scale,
      coverage) = _post_delaunay_inner(
-        params, K, Kinv, graph, member2, curr2,
-        (sync_prev_q, sync_prev_t), (q2, t2), graph_scale, width, height,
+        params, K, Kinv, graph, member, curr,
+        (sync_prev_q, sync_prev_t), (f_last.q, f_last.t), graph_scale,
+        width, height,
         seed_map if params.init_with_prediction else None,
-        topo_buf=buf, topo_offset=2 * hw, carry_fresh=carry_fresh)
+        topo_buf=buf, topo_offset=B * hw, carry_fresh=carry_fresh)
 
-    # Stash the fresh dense map into any poseframe of this pair (reference
-    # flame.cc:417-428 stashes into the current poseframe per update; here
-    # the map lands at pair cadence).
-    if pf1:
-        stack = frame_mod.set_idepthmap.__wrapped__(stack, pf_slot_a,
-                                                    idepthmap)
-    if pf2:
-        stack = frame_mod.set_idepthmap.__wrapped__(stack, pf_slot_b,
-                                                    idepthmap)
+    # Stash the fresh dense map into every poseframe of this batch
+    # (reference flame.cc:417-428 stashes into the current poseframe per
+    # update; here the map lands at batch cadence).
+    def stash(b, st):
+        return jax.lax.cond(
+            pf_flags[b],
+            lambda s: frame_mod.set_idepthmap.__wrapped__(
+                s, pf_slots[b], idepthmap),
+            lambda s: s, st)
+    stack = jax.lax.fori_loop(0, B, stash, stack)
 
-    return (f2, stack if (pf1 or pf2) else None, feats, curr2, member2,
-            stats1 + stats2, obs1, obs2, packed, graph, vtx_idepths,
-            normals, tri_validity, idepthmap, graph_scale, coverage)
+    return (f_last, stack, feats, curr, member, stats, obs_b, packed,
+            graph, vtx_idepths, normals, tri_validity, idepthmap,
+            graph_scale, coverage)
 
 
 # Fixed-point scale for packed pixel coordinates: 1/32 px resolution, max

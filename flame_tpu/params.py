@@ -143,14 +143,16 @@ class SolverParams:
     # Backstop: block for the head transfer when the newest staged
     # topology is older than this many frames.
     max_topology_staleness: int = 5
-    # Process 2 frames per device dispatch at steady state (pipeline
-    # .pair_step): update() buffers every other frame and dispatches the
-    # pair as ONE upload + ONE fused jit (create/track/detect x2 + sync +
-    # smooth + mesh). Per-frame tracking semantics are the exact 2-frame
-    # unroll of the single path; smoothing/mesh cadence becomes per-pair
-    # and output latency grows by one frame. Through the tunneled device
-    # the per-dispatch/per-transfer cost dominates (see NOTES.md), so
-    # this nearly halves the wall floor. 1 = classic per-frame path.
+    # Process N frames per device dispatch at steady state (pipeline
+    # .batch_step): update() buffers frame_batch frames and dispatches
+    # them as ONE upload + ONE fused jit (a lax.scan of create/track/
+    # detect over the batch + sync + smooth + mesh). Per-frame tracking
+    # semantics are the exact sequential semantics; smoothing/mesh
+    # cadence becomes per-batch and output latency grows by
+    # frame_batch-1 frames. Through the tunneled device the
+    # per-dispatch/per-transfer cost dominates (see NOTES.md), so this
+    # divides the wall floor's fixed term by frame_batch.
+    # 1 = classic per-frame path.
     frame_batch: int = 1
     # Coalesce host->device uploads: when update() receives a HOST
     # (numpy uint8) image under async_topology, the freshly triangulated

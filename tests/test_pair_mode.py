@@ -1,5 +1,5 @@
 """Two-frames-per-dispatch orchestration (solver.frame_batch=2,
-pipeline.pair_step): quality parity with the single-frame path on a
+pipeline.batch_step): quality parity with the single-frame path on a
 synthetic sequence, flush semantics of the buffered frame, and the
 degenerate-topology guards that pair-scale staleness exposed
 (optimize.topology.MIN_EDGE_LENGTH, snapshot dedupe)."""
@@ -75,13 +75,28 @@ def test_pair_quality_matches_single(paired):
     assert err2 < max(2.0 * err1, 0.01)
 
 
+def test_batch4_quality_matches_single(paired):
+    """frame_batch=4: the scan-based batch path at depth 4 must hold the
+    same quality as the per-frame path (one dispatch per 4 frames)."""
+    fl4 = make_flame(4)
+    drive(fl4, 20)
+    assert fl4._dispatches >= 3
+    idm4 = fl4.get_inverse_depth_map()
+    idm2 = paired.get_inverse_depth_map()
+    cov4 = np.mean(~np.isnan(idm4))
+    cov2 = np.mean(~np.isnan(idm2))
+    err4 = np.nanmedian(np.abs(idm4 - 1 / PLANE_Z)) * PLANE_Z
+    assert cov4 > 0.85 * cov2
+    assert err4 < 0.02
+
+
 def test_getter_flushes_pending_frame(paired):
     # Drive an odd number of frames so one is buffered, then call a
     # getter: the buffered frame must be processed (mesh getter path).
     drive(paired, 1, start=20)
-    if paired._pair_pending is not None:
+    if paired._batch_pending:
         paired.get_inverse_depth_map()
-    assert paired._pair_pending is None
+    assert not paired._batch_pending
 
 
 def test_raw_idepths_accurate(paired):
