@@ -272,6 +272,18 @@ class Flame:
         return self._update_single(time, frame_id, q, t, img, is_poseframe,
                                    q_np, t_np)
 
+    @staticmethod
+    def _img_mode(img):
+        """'host' for a numpy uint8 image (coalesced upload), 'resident'
+        for a device uint8 array (DMA/PCIe-style ingestion: the image is
+        already on device; only topology words cross the link), else
+        None (ineligible for batching)."""
+        if isinstance(img, np.ndarray) and img.dtype == np.uint8:
+            return "host"
+        if isinstance(img, jax.Array) and img.dtype == jnp.uint8:
+            return "resident"
+        return None
+
     def _batch_ok(self, img) -> bool:
         """Steady-state eligibility for the N-frame fused dispatch."""
         p = self.params
@@ -280,7 +292,10 @@ class Flame:
                 and self.inited and self._curr_pf_slot is not None
                 and self._fnew is not None
                 and self._last_topo_host is not None
-                and isinstance(img, np.ndarray) and img.dtype == np.uint8
+                and self._img_mode(img) is not None
+                and (not self._batch_pending
+                     or self._img_mode(self._batch_pending[0][4])
+                     == self._img_mode(img))
                 and (self._n_valid > 0 or bool(self._packed_queue)))
 
     def _flush_batch(self):
@@ -606,11 +621,21 @@ class Flame:
             self._staged_tris = None
             self._staged_fresh = False
             carry_fresh = True
-        up = np.empty(B * hw + 2 * self._topo_words, np.uint8)
-        for b, (_t, fid, q, t, img, is_pf, qnp, tnp) in enumerate(frames):
-            up[b * hw: (b + 1) * hw] = img.reshape(-1)
-        up[B * hw:] = self._last_topo_host.view(np.uint8)
-        buf_dev = jnp.asarray(up)
+        resident = self._img_mode(frames[0][4]) == "resident"
+        if resident:
+            # Device-resident ingestion: only the topology words cross
+            # the link; the images are already in HBM (DMA/PCIe-style
+            # camera feed, or the bench's pre-staged frames).
+            buf_dev = jnp.asarray(self._last_topo_host.view(np.uint8))
+            imgs = tuple(f[4] for f in frames)
+        else:
+            up = np.empty(B * hw + 2 * self._topo_words, np.uint8)
+            for b, (_t, fid, q, t, img, is_pf, qnp, tnp) in \
+                    enumerate(frames):
+                up[b * hw: (b + 1) * hw] = img.reshape(-1)
+            up[B * hw:] = self._last_topo_host.view(np.uint8)
+            buf_dev = jnp.asarray(up)
+            imgs = None
 
         self.stats.tick("update_idepths")
         (fnew2, stack2, feats, curr, member, stat_vec, obs_b,
@@ -624,7 +649,7 @@ class Flame:
             np.asarray(id_bases, np.int32),
             prev_q, prev_t, sync_q, sync_t, self._idepthmap,
             jnp.asarray(carry_fresh),
-            n_frames=B, height=self.height, width=self.width)
+            n_frames=B, height=self.height, width=self.width, imgs=imgs)
         self.stats.tock("update_idepths")
 
         self._fprev = self._fnew

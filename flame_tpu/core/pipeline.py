@@ -749,7 +749,7 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
                buf, fids, qs, ts, pf_flags, det_flags, pf_slots, id_bases,
                prev_q, prev_t, sync_prev_q, sync_prev_t, seed_map,
                carry_fresh, n_frames: int = 2, height: int = 0,
-               width: int = 0):
+               width: int = 0, imgs=None):
     """N frames per device dispatch: a lax.scan over the per-frame body
     (create -> [poseframe insert] -> track -> [detect]) followed by one
     post-Delaunay section (topology decode + graph sync + smoothing +
@@ -775,6 +775,11 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
     buf: ONE coalesced uint8 upload [img_0 | ... | img_{B-1} | topology
     words (u16 view, layout of flame._host_triangulate; re-uploaded each
     batch — the tunnel charges per transfer, not per byte)].
+    imgs: alternatively (device-resident ingestion, e.g. a DMA/PCIe
+    camera feed or the bench's pre-staged frames), a length-B tuple of
+    (H, W) uint8 DEVICE arrays; buf then carries only the topology
+    words. Passing imgs=None vs a tuple selects the executable via the
+    argument pytree structure — no extra static flag.
     qs/ts: length-B tuples of (4,)/(3,) pose arrays (stacked inside the
     jit — stacking eagerly on the host would cost an extra device RPC).
     pf_slots[b]: the current poseframe slot DURING frame b's tracking.
@@ -797,12 +802,16 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
 
     qs = jnp.stack([q.astype(jnp.float32) for q in qs])
     ts = jnp.stack([t.astype(jnp.float32) for t in ts])
+    if imgs is not None:
+        imstack = jnp.stack([im.reshape(height, width) for im in imgs])
+        topo_offset = 0
+    else:
+        imstack = buf[: B * hw].reshape(B, height, width)
+        topo_offset = B * hw
 
     def body(carry, x):
         stack, feats, pq, pt = carry
-        off, fid, q, t, pf, det, slot, id_base = x
-        img = jax.lax.dynamic_slice(buf, (off,), (hw,)).reshape(
-            height, width)
+        img, fid, q, t, pf, det, slot, id_base = x
         f = frame_mod.create.__wrapped__(fid, q, t, img, pad)
         stack = jax.lax.cond(
             pf, lambda s: frame_mod.insert.__wrapped__(s, slot, f),
@@ -818,7 +827,7 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
             lambda fs: fs, feats)
         return (stack, feats, q, t), (f, curr, member, stats, obs)
 
-    xs = (jnp.arange(B, dtype=jnp.int32) * hw,
+    xs = (imstack,
           jnp.asarray(fids, jnp.int32), qs, ts,
           jnp.asarray(pf_flags, bool), jnp.asarray(det_flags, bool),
           jnp.asarray(pf_slots, jnp.int32),
@@ -839,7 +848,7 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
         (sync_prev_q, sync_prev_t), (f_last.q, f_last.t), graph_scale,
         width, height,
         seed_map if params.init_with_prediction else None,
-        topo_buf=buf, topo_offset=B * hw, carry_fresh=carry_fresh)
+        topo_buf=buf, topo_offset=topo_offset, carry_fresh=carry_fresh)
 
     # Stash the fresh dense map into every poseframe of this batch
     # (reference flame.cc:417-428 stashes into the current poseframe per

@@ -90,6 +90,27 @@ def test_batch4_quality_matches_single(paired):
     assert err4 < 0.02
 
 
+def test_resident_image_batching(paired):
+    """Device-resident uint8 frames engage the batch path through
+    batch_step's imgs-tuple executable (only topology words uploaded) and
+    hold quality parity with host-image batching."""
+    import jax
+    fl = make_flame(2)
+    for i in range(20):
+        cam_x = 0.15 * i
+        fl.update(i * 0.1, i, (se3.quat_identity(),
+                               jnp.array([cam_x, 0.0, 0.0])),
+                  jax.device_put(render(cam_x)), i % 2 == 0)
+    assert fl._dispatches >= 5
+    idm = fl.get_inverse_depth_map()
+    idm2 = paired.get_inverse_depth_map()
+    cov = np.mean(~np.isnan(idm))
+    cov2 = np.mean(~np.isnan(idm2))
+    err = np.nanmedian(np.abs(idm - 1 / PLANE_Z)) * PLANE_Z
+    assert cov > 0.9 * cov2
+    assert err < 0.02
+
+
 def test_getter_flushes_pending_frame(paired):
     # Drive an odd number of frames so one is buffered, then call a
     # getter: the buffered frame must be processed (mesh getter path).
