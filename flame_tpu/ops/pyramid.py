@@ -51,3 +51,24 @@ def gradient_pyramid(levels: List[jax.Array]):
         gradx.append(gx)
         grady.append(gy)
     return gradx, grady
+
+
+def montage(levels: List) -> "np.ndarray":
+    """Debug montage of a pyramid: level 0 on the left, successive levels
+    stacked top-down in a half-width right column (reference
+    pyramids.cc:29-70's display layout). Host-side numpy; returns a
+    float32 (H, W + ceil(W/2)) image with unused cells zero."""
+    import numpy as np
+    lv = [np.asarray(l, np.float32) for l in levels]
+    H, W = lv[0].shape
+    cw = (W + 1) // 2
+    out = np.zeros((H, W + cw), np.float32)
+    out[:, :W] = lv[0]
+    y = 0
+    for l in lv[1:]:
+        h, w = l.shape
+        if y + h > H:
+            break
+        out[y:y + h, W:W + min(w, cw)] = l[:, :min(w, cw)]
+        y += h
+    return out

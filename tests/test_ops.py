@@ -115,6 +115,19 @@ def test_pyramid_constant_preserved():
         np.testing.assert_allclose(np.asarray(lvl), 7.0, atol=1e-5)
 
 
+def test_pyramid_montage_layout():
+    """Montage layout of reference pyramids.cc:29-70: level 0 left,
+    levels 1+ stacked top-down in the right column."""
+    img = np.arange(64 * 96, dtype=np.float32).reshape(64, 96)
+    levels = pyramid.gaussian_pyramid(jnp.asarray(img), 3)
+    m = pyramid.montage(levels)
+    assert m.shape == (64, 96 + 48)
+    np.testing.assert_array_equal(m[:, :96], np.asarray(levels[0]))
+    np.testing.assert_array_equal(m[:32, 96:144], np.asarray(levels[1]))
+    np.testing.assert_array_equal(m[32:48, 96:120], np.asarray(levels[2]))
+    assert (m[48:, 96:] == 0).all()
+
+
 # ---------------------------------------------------------------------------
 # Liang-Barsky clipping (reference image_utils.cc:269-371 semantics).
 # ---------------------------------------------------------------------------
