@@ -66,6 +66,11 @@ def main():
         detection=DetectionParams(win_size=16),
         solver=SolverParams(
             max_vertex_degree=16,
+            # reach=2 (256 RCM ranks) dropped ONE edge per frame at this
+            # config's band layout (the self-tripped capacity warning,
+            # VERDICT r2 weak #1); 3 covers the observed bandwidth with
+            # margin at ~6 us/frame extra smoothing cost.
+            pallas_reach=int(os.environ.get("BENCH_REACH", 3)),
             async_topology=True,
             # Experiment knobs (default production values).
             topology_lag=int(os.environ.get("BENCH_LAG", 2)),
@@ -105,10 +110,12 @@ def main():
     # shared tunnel's multi-second stall phases (config-independent; see
     # NOTES.md) are SAMPLED rather than dominant: with few windows a
     # single phase could cover half of them and own the median.
-    # win_len stays divisible by frame_batch so every window's frames are
-    # fully dispatched before its drain (a buffered, undispatched frame
-    # would otherwise count as processed).
-    n_windows, win_len = 25, 8
+    # win_len is rounded UP to a multiple of frame_batch so every
+    # window's frames are fully dispatched before its drain (a buffered,
+    # undispatched frame would otherwise count as processed; ADVICE r2).
+    fb = max(int(params.solver.frame_batch), 1)
+    n_windows = 25
+    win_len = -(-8 // fb) * fb
     n_meas = n_windows * win_len
     frames = [render(0.08 * i) for i in range(n_warm + n_meas)]
 
@@ -129,7 +136,12 @@ def main():
     resident = os.environ.get("BENCH_RESIDENT", "1") != "0"
     if resident:
         frames = [jax.device_put(f) for f in frames]
-        np.asarray(frames[-1][0, 0])  # staging complete before the clock
+        # Staging completes before the clock: block on EVERY transfer
+        # explicitly (ADVICE r2), then prove completion with a real
+        # device->host read (block_until_ready returns at RPC-accept on
+        # the tunneled device, NOTES.md).
+        jax.block_until_ready(frames)
+        np.asarray(frames[-1][0, 0])
 
     for i in range(n_warm):
         fl.update(i * 0.1, i, pose(i), frames[i], i % 2 == 0)

@@ -123,6 +123,10 @@ class _AsyncWork:
 class Flame:
     """Dense inverse-depth mesh estimation (reference flame.h:96)."""
 
+    # Device mesh for the pod-slice smoothers ("halo"/"pallas_halo");
+    # set by ShardedFlame before super().__init__ runs. None = one chip.
+    _sharding_mesh = None
+
     def __init__(self, width: int, height: int, K, Kinv, params: Params = None):
         self.params = params or Params()
         p = self.params
@@ -134,6 +138,16 @@ class Flame:
         self.stats = StatsTracker()
         self._smoother_mode = pipeline.resolve_smoother(
             p, p.feature_capacity)
+        # The RCM-banded layout group: these smoothers ride the perm +
+        # RCM-edge-rank segments of the topology upload instead of the
+        # [V, D] incidence tables.
+        self._pallas_layout = self._smoother_mode in (
+            "pallas", "halo", "pallas_halo")
+        if self._smoother_mode in ("halo", "pallas_halo") \
+                and self._sharding_mesh is None:
+            raise ValueError(
+                f"smoother={self._smoother_mode!r} needs a device mesh; "
+                f"use parallel.orchestrator.ShardedFlame")
         self.inited = False
         self.num_imgs = 0
         self.num_data_updates = 0
@@ -169,7 +183,7 @@ class Flame:
         # | perm (pallas)] — shared with _host_triangulate, _fill_carry
         # and pipeline.post_delaunay_step; change all together.
         self._topo_words = 2 + 3 * T + 3 * E + \
-            (N if self._smoother_mode == "pallas" else 0)
+            (N if self._pallas_layout else 0)
 
         # Host bookkeeping. Mirrors avoid per-frame blocking device reads
         # (each one costs a full round trip through the device tunnel).
@@ -204,6 +218,7 @@ class Flame:
         # dispatch counter (fetch_stride cadence under batching).
         self._batch_pending = []
         self._last_topo_host = None
+        self._topo_dev = None  # cached device copy (resident batching)
         self._last_sync_pose = None
         self._dispatches = 0
         self._tris_np = np.zeros((0, 3), np.int64)
@@ -285,10 +300,14 @@ class Flame:
         return None
 
     def _batch_ok(self, img) -> bool:
-        """Steady-state eligibility for the N-frame fused dispatch."""
+        """Steady-state eligibility for the N-frame fused dispatch.
+        coalesce_uploads is required only for HOST images (the combined
+        image+topology transfer); device-resident ingestion performs no
+        host coalescing, so it batches regardless (ADVICE r2)."""
         p = self.params
         return (p.solver.frame_batch >= 2 and p.solver.async_topology
-                and p.solver.coalesce_uploads
+                and (p.solver.coalesce_uploads
+                     or self._img_mode(img) == "resident")
                 and self.inited and self._curr_pf_slot is not None
                 and self._fnew is not None
                 and self._last_topo_host is not None
@@ -611,6 +630,7 @@ class Flame:
             self._pending_topo = None
             self._fill_carry(tbuf, edges_np, n_edges)
             self._last_topo_host = tbuf
+            self._topo_dev = None
             self._tris_np = tris_np
             self._edges_np = edges_np
             self._n_edges = n_edges
@@ -625,8 +645,14 @@ class Flame:
         if resident:
             # Device-resident ingestion: only the topology words cross
             # the link; the images are already in HBM (DMA/PCIe-style
-            # camera feed, or the bench's pre-staged frames).
-            buf_dev = jnp.asarray(self._last_topo_host.view(np.uint8))
+            # camera feed, or the bench's pre-staged frames). A STALE
+            # topology (carry_fresh False) is byte-identical to the last
+            # upload, so the cached device copy rides again — zero
+            # transfers that batch (VERDICT r2 #7 / NOTES.md agenda).
+            if carry_fresh or self._topo_dev is None:
+                self._topo_dev = jnp.asarray(
+                    self._last_topo_host.view(np.uint8))
+            buf_dev = self._topo_dev
             imgs = tuple(f[4] for f in frames)
         else:
             up = np.empty(B * hw + 2 * self._topo_words, np.uint8)
@@ -649,7 +675,8 @@ class Flame:
             np.asarray(id_bases, np.int32),
             prev_q, prev_t, sync_q, sync_t, self._idepthmap,
             jnp.asarray(carry_fresh),
-            n_frames=B, height=self.height, width=self.width, imgs=imgs)
+            n_frames=B, height=self.height, width=self.width, imgs=imgs,
+            mesh=self._sharding_mesh)
         self.stats.tock("update_idepths")
 
         self._fprev = self._fnew
@@ -761,6 +788,7 @@ class Flame:
         self._pending_topo = None
         self._fill_carry(tbuf, edges_np, n_edges)
         self._last_topo_host = tbuf  # applied this frame (pair-mode seed)
+        self._topo_dev = None
         up = np.empty(hw + 2 * self._topo_words, np.uint8)
         up[:hw] = img.reshape(-1)
         up[hw:] = tbuf.view(np.uint8)
@@ -837,7 +865,7 @@ class Flame:
         # several. The carry segment is filled by _fill_carry at staging
         # time (it must be computed against the edges of the topology the
         # device graph holds when THIS one is applied).
-        pallas = self._smoother_mode == "pallas"
+        pallas = self._pallas_layout
         buf = np.zeros(self._topo_words, np.uint16)
         buf[0] = n_tris
         buf[1] = n_edges
@@ -966,6 +994,7 @@ class Flame:
             return
         self._fill_carry(buf, edges_sorted, n_edges)
         self._last_topo_host = buf
+        self._topo_dev = None
         self.stats.tick("topo_upload")
         buf_dev = jnp.asarray(buf)
         self.stats.tock("topo_upload")
@@ -988,7 +1017,8 @@ class Flame:
             self._graph_scale_dev, self.width, self.height,
             self._idepthmap if p.init_with_prediction else None,
             topo_buf=topo_buf, topo_offset=self._staged_offset,
-            carry_fresh=jnp.asarray(self._staged_fresh))
+            carry_fresh=jnp.asarray(self._staged_fresh),
+            mesh=self._sharding_mesh)
         self._staged_fresh = False
         self._last_sync_pose = (self._fnew.q, self._fnew.t)
         # Triangle array + mask are derived lazily by the output getters
@@ -1143,6 +1173,7 @@ class Flame:
         self._staged_offset = 0
         self._batch_pending = []
         self._last_topo_host = None
+        self._topo_dev = None
         self._last_sync_pose = None
         self._packed_queue.clear()
         self._feat_valid_np = np.zeros(p.feature_capacity, bool)

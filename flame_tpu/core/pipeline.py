@@ -613,7 +613,7 @@ def _post_delaunay_inner(params: Params, K, Kinv, graph: nltgv2.GraphState,
                          prev_idepthmap=None, topo_buf=None,
                          tris=None, n_tris=None, edges=None, n_edges=None,
                          edge_ranks=None, topo_offset: int = 0,
-                         carry_fresh=None):
+                         carry_fresh=None, mesh=None):
     """Everything between host Delaunay and the next frame, fused into ONE
     dispatch: prev->new epipolar geometry, device-side edge topology + dual
     carry (from the uploaded triangle array alone), graph synchronization,
@@ -627,7 +627,12 @@ def _post_delaunay_inner(params: Params, K, Kinv, graph: nltgv2.GraphState,
     uplink is the scarcest resource) — or as separate tris/edges/ranks
     arrays. The ranks segment carries incidence slot ranks (lo | hi << 8)
     in vertex-smoother mode and RCM-space edge ranks (sr | dr << 8) in
-    pallas mode; perm is the RCM rank -> vertex-slot permutation."""
+    pallas/halo modes; perm is the RCM rank -> vertex-slot permutation.
+
+    mesh: a jax.sharding.Mesh (static), required by the pod-slice
+    smoothers (smoother="halo" — ppermute boundary strips, parallel/
+    halo.py — or "pallas_halo" — in-kernel RDMA ring, parallel/
+    pallas_halo.py); its axis name must be parallel.sharding.AXIS."""
     from flame_tpu.optimize import topology as topo_mod
 
     geo_prev_to_new = epipolar.load_relative(K, Kinv, pose_prev, pose_new)
@@ -656,7 +661,7 @@ def _post_delaunay_inner(params: Params, K, Kinv, graph: nltgv2.GraphState,
         edge_ranks = jnp.stack([rk & 0xFF, rk >> 8], axis=1)
         carry_idx = topo_buf[2 + 3 * T + 2 * E: 2 + 3 * T + 3 * E] \
             .astype(jnp.int32)
-        if smoother == "pallas":
+        if smoother in ("pallas", "halo", "pallas_halo"):
             perm = topo_buf[2 + 3 * T + 3 * E:].astype(jnp.int32)
         # Directed corner edges -> the host-selected unique occurrence.
         a = tris.reshape(-1)
@@ -665,20 +670,23 @@ def _post_delaunay_inner(params: Params, K, Kinv, graph: nltgv2.GraphState,
         edges = dlh[edge_src]  # (E, 2) canonical (lo, hi), code-sorted
 
     # The XLA vertex-centric smoother needs the [V, D] incidence tables +
-    # src_slot; the Pallas kernel builds its own banded layout instead,
-    # so the incidence build (2 big scatters) is skipped entirely.
+    # src_slot; the Pallas/halo kernels build their own banded/rank
+    # layouts instead, so the incidence build (2 big scatters) is skipped
+    # entirely (and their decoded ranks are RCM-space, not incidence
+    # ranks).
+    rank_layout = smoother in ("pallas", "halo", "pallas_halo")
     if edges is not None:
         topo = topo_mod.from_edges(
             edges, n_edges, curr.xy, graph.edges, graph.edge_mask,
             graph.q1, graph.q2, graph.q3, E, V, D,
-            build_incidence=(smoother != "pallas"),
-            ranks=edge_ranks if smoother != "pallas" else None,
+            build_incidence=not rank_layout,
+            ranks=None if rank_layout else edge_ranks,
             carry_idx=carry_idx, carry_fresh=carry_fresh)
     else:
         topo = topo_mod.from_triangles(
             tris, n_tris, curr.xy, graph.edges, graph.edge_mask,
             graph.q1, graph.q2, graph.q3, E, V, D,
-            build_incidence=(smoother != "pallas"))
+            build_incidence=not rank_layout)
 
     # Under async topology the triangle set lags membership by one frame;
     # mask out edges touching vertices that left the graph.
@@ -720,6 +728,30 @@ def _post_delaunay_inner(params: Params, K, Kinv, graph: nltgv2.GraphState,
                 params.solver.n_iters_per_frame,
                 params.solver.max_vertex_degree,
                 reach=params.solver.pallas_reach)
+        elif smoother in ("halo", "pallas_halo") and perm is not None \
+                and mesh is not None:
+            # Pod-slice smoothers run END-TO-END here (VERDICT r2 #2):
+            # vertex-partitioned over the mesh with boundary halo
+            # exchange per iteration (SURVEY.md section 2b).
+            inv_perm = jnp.zeros((V,), jnp.int32).at[perm].set(
+                jnp.arange(V, dtype=jnp.int32))
+            n_dev = int(mesh.devices.size)
+            reach = params.solver.pallas_reach
+            if smoother == "halo":
+                from flame_tpu.parallel import halo as halo_mod
+                graph = halo_mod.halo_smooth(
+                    params.rparams, graph, perm, inv_perm, edge_ranks,
+                    params.solver.n_iters_per_frame,
+                    params.solver.max_vertex_degree, mesh,
+                    halo=min(V // n_dev, (reach + 1) * 128))
+            else:
+                from flame_tpu.parallel import pallas_halo as ph_mod
+                graph = ph_mod.smooth_sharded(
+                    params.rparams, graph, perm, inv_perm, edge_ranks,
+                    params.solver.n_iters_per_frame,
+                    params.solver.max_vertex_degree, mesh,
+                    reach=reach,
+                    interpret=jax.default_backend() != "tpu")
         else:
             graph = nltgv2.smooth(params.rparams, graph,
                                   params.solver.n_iters_per_frame,
@@ -739,21 +771,22 @@ def _post_delaunay_inner(params: Params, K, Kinv, graph: nltgv2.GraphState,
 
 post_delaunay_step = functools.partial(
     jax.jit, static_argnames=("params", "width", "height",
-                              "topo_offset"))(_post_delaunay_inner)
+                              "topo_offset", "mesh"))(_post_delaunay_inner)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "n_frames",
-                                             "height", "width"))
+                                             "height", "width", "mesh"))
 def batch_step(params: Params, K, Kinv, stack: FrameStack,
                feats: FeatureState, graph: nltgv2.GraphState, graph_scale,
                buf, fids, qs, ts, pf_flags, det_flags, pf_slots, id_bases,
                prev_q, prev_t, sync_prev_q, sync_prev_t, seed_map,
                carry_fresh, n_frames: int = 2, height: int = 0,
-               width: int = 0, imgs=None):
+               width: int = 0, imgs=None, mesh=None):
     """N frames per device dispatch: a lax.scan over the per-frame body
-    (create -> [poseframe insert] -> track -> [detect]) followed by one
-    post-Delaunay section (topology decode + graph sync + smoothing +
-    mesh outputs) on the last frame's state — all fused into ONE dispatch.
+    (create -> [poseframe insert] -> track -> [detect] -> dense
+    rasterization) followed by one post-Delaunay section (topology decode
+    + graph sync + smoothing + mesh outputs) on the last frame's state —
+    all fused into ONE dispatch.
 
     Rationale: through the tunneled device the per-TRANSFER / per-dispatch
     cost dominates the per-frame budget (~27 ms RTT; see NOTES.md), so
@@ -761,9 +794,14 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
     fixed term by the same factor. Each frame's tracking/measurement/
     fusion semantics are EXACTLY the sequential per-frame semantics (the
     scan shares one compiled body, not one set of measurements); only the
-    mesh/smoothing cadence becomes per-batch — the reference's
-    free-running graph thread likewise decouples smoothing from the
-    camera rate (flame.cc:98-112). Output latency grows by n_frames-1
+    SMOOTHING cadence becomes per-batch — the reference's free-running
+    graph thread likewise decouples smoothing from the camera rate
+    (flame.cc:98-112). The dense idepthmap stays PER-FRAME (the reference
+    rasterizes inside every update(), flame.cc:409-415): each scanned
+    frame projects the batch-start mesh into its own view and rasterizes
+    it; the per-frame map seeds that frame's detection and is stashed
+    into the poseframe stack, and the post-smoothing map of the last
+    frame is the batch's output. Output latency grows by n_frames-1
     frames.
 
     Versus a static n_frames-fold unroll (the old pair_step), the scan
@@ -795,6 +833,7 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
     poseframe rows).
     """
     from flame_tpu.core import frame as frame_mod
+    from flame_tpu.ops import rasterize as raster
 
     B = n_frames
     hw = height * width
@@ -809,8 +848,52 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
         imstack = buf[: B * hw].reshape(B, height, width)
         topo_offset = B * hw
 
+    # Decode the batch's triangle set up front: the per-frame dense
+    # rasterization inside the scan draws the same triangles the
+    # post-Delaunay section will apply (the duplicate decode is CSE'd —
+    # batch_step is one jit).
+    T = params.triangle_capacity
+    tb = buf
+    if tb.dtype == jnp.uint8:
+        tb = jax.lax.bitcast_convert_type(
+            tb[topo_offset:].reshape(-1, 2), jnp.uint16)
+    n_tris_pre = tb[0].astype(jnp.int32)
+    tris_pre = tb[2: 2 + 3 * T].reshape(T, 3).astype(jnp.int32)
+    tri_in_pre = jnp.arange(T) < n_tris_pre
+    vtx_x_pre = graph.x * graph_scale  # batch-start smoothed idepths
+    sync_q32 = sync_prev_q.astype(jnp.float32)
+    sync_t32 = sync_prev_t.astype(jnp.float32)
+
+    def dense_for(q, t):
+        """Per-frame dense idepthmap (reference flame.cc:409-415
+        rasterizes inside EVERY update): project the batch-start mesh
+        (vertex pixels live in the sync frame — the previous batch's last
+        frame) into this frame's view and rasterize. Smoothing staleness
+        is at most one batch; geometry is current."""
+        geo = epipolar.load_relative(K, Kinv, (sync_q32, sync_t32), (q, t))
+        pos_b, id_b = epipolar.project_idepth(geo, graph.pos, vtx_x_pre)
+        ok = graph.vtx_mask & (id_b > 0)
+        tri_ok = tri_in_pre & jnp.all(ok[tris_pre], axis=1)
+        return raster.rasterize_auto(pos_b, tris_pre, id_b, tri_ok,
+                                     height, width)
+
+    # Large per-frame products (Frame pytree, curr, member, dense map)
+    # ride the CARRY — only obs (consumed per-frame by BA) and the tiny
+    # stats vector are stacked scan outputs (stacking B frame pyramids
+    # was pure HBM write traffic; ADVICE r2).
+    N = feats.xy.shape[0]
+    f_shape = jax.eval_shape(
+        lambda im: frame_mod.create.__wrapped__(
+            jnp.int32(0), qs[0], ts[0], im, pad), imstack[0])
+    f_init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), f_shape)
+    curr_init = CurrFeatures(xy=jnp.zeros((N, 2), jnp.float32),
+                             idepth=jnp.zeros((N,), jnp.float32),
+                             var=jnp.zeros((N,), jnp.float32),
+                             valid=jnp.zeros((N,), bool))
+    member_init = jnp.zeros((N,), bool)
+
     def body(carry, x):
-        stack, feats, pq, pt = carry
+        stack, feats, pq, pt, _f, _curr, _member, seed = carry
         img, fid, q, t, pf, det, slot, id_base = x
         f = frame_mod.create.__wrapped__(fid, q, t, img, pad)
         stack = jax.lax.cond(
@@ -818,27 +901,33 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
             lambda s: s, stack)
         feats, curr, member, stats, obs = _frame_inner(
             params, K, Kinv, stack, feats, f, slot, False, pq, pt,
-            id_base, seed_map)
+            id_base, seed)
         feats = jax.lax.cond(
             det,
             lambda fs: _detect_and_insert(params, K, Kinv, stack, slot,
                                           fs, curr, f, pq, pt, id_base,
-                                          seed_map),
+                                          seed),
             lambda fs: fs, feats)
-        return (stack, feats, q, t), (f, curr, member, stats, obs)
+        dense = dense_for(q, t)
+        # Stash this frame's OWN map into the stack when it is a
+        # poseframe (reference flame.cc:417-428).
+        stack = jax.lax.cond(
+            pf, lambda s: frame_mod.set_idepthmap.__wrapped__(
+                s, slot, dense),
+            lambda s: s, stack)
+        return (stack, feats, q, t, f, curr, member, dense), (obs, stats)
 
     xs = (imstack,
           jnp.asarray(fids, jnp.int32), qs, ts,
           jnp.asarray(pf_flags, bool), jnp.asarray(det_flags, bool),
           jnp.asarray(pf_slots, jnp.int32),
           jnp.asarray(id_bases, jnp.int32))
-    (stack, feats, _, _), (fs, currs, members, stats_b, obs_b) = \
-        jax.lax.scan(body, (stack, feats, prev_q.astype(jnp.float32),
-                            prev_t.astype(jnp.float32)), xs)
+    init = (stack, feats, prev_q.astype(jnp.float32),
+            prev_t.astype(jnp.float32), f_init, curr_init, member_init,
+            seed_map)
+    (stack, feats, _, _, f_last, curr, member, dense_last), \
+        (obs_b, stats_b) = jax.lax.scan(body, init, xs)
 
-    f_last = jax.tree.map(lambda a: a[-1], fs)
-    curr = jax.tree.map(lambda a: a[-1], currs)
-    member = members[-1]
     stats = stats_b.sum(axis=0)
     packed = pack_track_outputs.__wrapped__(feats, curr, member)
 
@@ -847,19 +936,9 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
         params, K, Kinv, graph, member, curr,
         (sync_prev_q, sync_prev_t), (f_last.q, f_last.t), graph_scale,
         width, height,
-        seed_map if params.init_with_prediction else None,
-        topo_buf=buf, topo_offset=topo_offset, carry_fresh=carry_fresh)
-
-    # Stash the fresh dense map into every poseframe of this batch
-    # (reference flame.cc:417-428 stashes into the current poseframe per
-    # update; here the map lands at batch cadence).
-    def stash(b, st):
-        return jax.lax.cond(
-            pf_flags[b],
-            lambda s: frame_mod.set_idepthmap.__wrapped__(
-                s, pf_slots[b], idepthmap),
-            lambda s: s, st)
-    stack = jax.lax.fori_loop(0, B, stash, stack)
+        dense_last if params.init_with_prediction else None,
+        topo_buf=buf, topo_offset=topo_offset, carry_fresh=carry_fresh,
+        mesh=mesh)
 
     return (f_last, stack, feats, curr, member, stats, obs_b, packed,
             graph, vtx_idepths, normals, tri_validity, idepthmap,

@@ -110,8 +110,11 @@ def render_frame(K: np.ndarray, q: np.ndarray, t: np.ndarray,
         denom = dw[..., axis]
         with np.errstate(divide="ignore", invalid="ignore"):
             th = (plane - o[axis]) / denom
-        pt = o[None, None, :] + th[..., None] * dw
         ok = (th > 0.05) & np.isfinite(th)
+        # Mask before multiplying: inf/nan ray parameters on rays parallel
+        # to the plane would otherwise emit RuntimeWarnings (inf * 0).
+        th_safe = np.where(ok, th, 1.0)
+        pt = o[None, None, :] + th_safe[..., None] * dw
         # Stay inside the corridor box.
         for ax, lo, hi in ((0, _LEFT_X - 1e-6, _RIGHT_X + 1e-6),
                            (1, _CEIL_Y - 1e-6, _FLOOR_Y + 1e-6),
@@ -132,8 +135,10 @@ def render_frame(K: np.ndarray, q: np.ndarray, t: np.ndarray,
     hit(0, _RIGHT_X, (1, 2), seed + 4)
     hit(2, _BACK_Z, (0, 1), seed + 5)
 
-    # Camera-frame depth of the hit point (z component).
-    hitp = o[None, None, :] + best_t[..., None] * dw - o[None, None, :]
+    # Camera-frame depth of the hit point (z component). Mask misses
+    # (best_t = inf) before the multiply for the same warning reason.
+    t_safe = np.where(np.isfinite(best_t), best_t, 1.0)
+    hitp = t_safe[..., None] * dw
     z_cam = hitp @ R[:, 2]
     idepth = np.where(np.isfinite(best_t) & (z_cam > 1e-6),
                       1.0 / np.maximum(z_cam, 1e-6), np.nan)

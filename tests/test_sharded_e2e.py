@@ -94,3 +94,74 @@ def test_sharded_mesh_outputs(run_sharded):
     mesh_out = run_sharded.get_inverse_depth_mesh()
     assert mesh_out["triangles"].shape[0] > 30
     assert np.isfinite(mesh_out["idepths"]).all()
+
+
+# ---------------------------------------------------------------------------
+# Pod-slice smoothers END-TO-END (VERDICT r2 #2): the full ShardedFlame
+# sequence with the halo-exchange smoothers doing the in-pipeline
+# smoothing (not just step-level kernels). 4 devices: pallas_halo needs
+# rank rows (V/128) divisible by the mesh with >= reach rows per device.
+# ---------------------------------------------------------------------------
+
+
+def _run_halo_mode(smoother: str):
+    mesh = sharding.make_mesh(jax.devices()[:4])
+    params = Params(
+        feature_capacity=1024, edge_capacity=4096, triangle_capacity=2048,
+        poseframe_capacity=8, min_height=-100.0, max_height=100.0,
+        idepth_init=0.05, idepth_var_init=0.25,
+        detection=DetectionParams(win_size=16),
+        solver=SolverParams(n_iters_per_frame=30, max_vertex_degree=16,
+                            smoother=smoother),
+        debug_quiet=True)
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+    fl = ShardedFlame(W, H, K, camera.inv_k(K), params, mesh=mesh)
+    for i in range(14):
+        cam_x = 0.15 * i
+        fl.update(i * 0.1, i, (se3.quat_identity(),
+                               jnp.array([cam_x, 0.0, 0.0])),
+                  render(cam_x), i % 2 == 0)
+    return fl
+
+
+@pytest.fixture(scope="module", params=["halo", "pallas_halo"])
+def run_halo(request):
+    return _run_halo_mode(request.param), request.param
+
+
+def test_halo_e2e_accuracy(run_halo):
+    fl, mode = run_halo
+    idm = fl.get_inverse_depth_map()
+    cov = np.mean(~np.isnan(idm))
+    assert cov > 0.5, (mode, cov)
+    err = np.abs(idm[~np.isnan(idm)] - 1.0 / PLANE_Z) * PLANE_Z
+    assert np.median(err) < 0.02, (mode, np.median(err))
+
+
+def test_halo_e2e_matches_vertex(run_halo):
+    """The pod-slice smoothers must reproduce the vertex-formulation
+    pipeline: same sequence, same config apart from the smoother, dense
+    maps equal up to float reduction order (RCM bandwidth stays inside
+    the halo, so no edge is dropped)."""
+    fl, mode = run_halo
+    import dataclasses
+    params_v = fl.params.replace(solver=dataclasses.replace(
+        fl.params.solver, smoother="vertex"))
+    from flame_tpu.core.flame import Flame
+    fl_v = Flame(W, H, np.asarray(fl.K), np.asarray(fl.Kinv), params_v)
+    for i in range(14):
+        cam_x = 0.15 * i
+        fl_v.update(i * 0.1, i, (se3.quat_identity(),
+                                 jnp.array([cam_x, 0.0, 0.0])),
+                    render(cam_x), i % 2 == 0)
+    a = fl.get_inverse_depth_map()
+    b = fl_v.get_inverse_depth_map()
+    both = ~np.isnan(a) & ~np.isnan(b)
+    assert both.mean() > 0.5, mode
+    assert np.median(np.abs(a[both] - b[both])) < 1e-4, mode
+
+
+def test_halo_e2e_state_stays_sharded(run_halo):
+    fl, mode = run_halo
+    sh = fl._feats.idepth_mu.sharding
+    assert len(sh.device_set) == 4, mode
