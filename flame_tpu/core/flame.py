@@ -465,8 +465,9 @@ class Flame:
             too_stale = bool(self._packed_queue) and (
                 self.num_imgs - self._packed_queue[0][1] >= join_age)
             joined_any = False
+            det = bool(p.solver.deterministic)
             while self._packed_queue and (
-                    self._packed_queue[0][0].ready()
+                    det or self._packed_queue[0][0].ready()
                     or (too_stale and not joined_any)):
                 pk, pk_frame = self._packed_queue.popleft()
                 self.stats.tick("fetch_packed")
@@ -501,7 +502,7 @@ class Flame:
                                            self.num_imgs))
             # Adopt a finished triangulation (forced when nothing is
             # staged yet — bootstrap — so the first mesh appears asap).
-            self._adopt_tri_result(force=self._staged_tris is None)
+            self._adopt_tri_result(force=det or self._staged_tris is None)
             if self._staged_tris is not None:
                 self.stats.tick("sync_graph")
                 (buf_dev, n_tris, tris_np, edges_np,
@@ -708,8 +709,9 @@ class Flame:
         too_stale = bool(self._packed_queue) and (
             self.num_imgs - self._packed_queue[0][1] >= join_age)
         joined_any = False
+        det = bool(p.solver.deterministic)
         while self._packed_queue and (
-                self._packed_queue[0][0].ready()
+                det or self._packed_queue[0][0].ready()
                 or (too_stale and not joined_any)):
             pk, pk_frame = self._packed_queue.popleft()
             self.stats.tick("fetch_packed")
@@ -730,7 +732,7 @@ class Flame:
                 len(self._packed_queue) < max(int(p.solver.topology_lag), 1):
             self._packed_queue.append((_AsyncFetch(packed_dev),
                                        self.num_imgs))
-        self._adopt_tri_result(force=False)
+        self._adopt_tri_result(force=det)
 
         if self._ba is not None and any(pf_flags):
             self.stats.tick("ba")
@@ -968,7 +970,7 @@ class Flame:
         # ~8 ms never extend the blocking fetch join. A still-unjoined
         # previous result is adopted first (never dropped — its staleness
         # masking is no worse than skipping a topology update).
-        self._adopt_tri_result(force=False)
+        self._adopt_tri_result(force=bool(p.solver.deterministic))
         self._tri_pending = (_AsyncWork(
             lambda pk=packed: self._host_triangulate(pk)), packed_frame)
         return True

@@ -154,6 +154,15 @@ class SolverParams:
     # divides the wall floor's fixed term by frame_batch.
     # 1 = classic per-frame path.
     frame_batch: int = 1
+    # Deterministic async scheduling: join every in-flight packed
+    # transfer and host triangulation at its staging point instead of
+    # opportunistically when ready. The async pipeline's adoption
+    # cadence otherwise depends on thread wall-clock timing, so two runs
+    # from identical state can adopt topologies on different frames
+    # (harmless masked staleness, but not reproducible). On for
+    # bit-reproducible runs (checkpoint/resume tests, regression
+    # debugging); off for production throughput.
+    deterministic: bool = False
     # Coalesce host->device uploads: when update() receives a HOST
     # (numpy uint8) image under async_topology, the freshly triangulated
     # topology words ride the next frame's image upload as one combined

@@ -205,3 +205,81 @@ def test_snapshot_dedupe():
     buf, n_tris, tris_slots, edges_sorted, n_edges = res
     assert n_tris == 1  # the duplicate collapsed: one triangle remains
     assert 1 not in set(tris_slots.reshape(-1).tolist())
+
+
+def test_batch_tracking_bit_equal_sequential():
+    """The scan-based batch body must reproduce the sequential per-frame
+    tracking EXACTLY given identical pre-dispatch state (the PARITY.md
+    claim, as qualified per ADVICE r2: later batch frames legitimately
+    see the batch-start smoothing/seed cadence, so the equality statement
+    is about the tracking/measurement/fusion chain itself). Compares
+    batch_step (B=2, detection off) against two frame_track_step
+    dispatches bit-for-bit."""
+    import __graft_entry__ as ge
+    import jax
+    from flame_tpu.core import pipeline
+    from flame_tpu.optimize import nltgv2
+
+    params = ge._small_params()
+    Hh, Ww = 96, 128
+    K, Kinv, stack, feats, fnew, graph = ge._synthetic_state(params, Hh, Ww)
+
+    rng = np.random.default_rng(3)
+    vv, uu = np.mgrid[0:Hh, 0:Ww].astype(np.float64)
+    imgs = [np.clip(128 + 60 * np.sin(0.5 * (uu + 2.0 * i))
+                    + 30 * np.cos(0.3 * vv), 0, 255).astype(np.uint8)
+            for i in (1, 2)]
+    poses = [(se3.quat_identity(), jnp.array([0.1 * i, 0.0, 0.0]))
+             for i in (1, 2)]
+    seed = jnp.full((Hh, Ww), jnp.nan, jnp.float32)
+    prev_q, prev_t = fnew.q, fnew.t
+
+    # --- Sequential: two frame_track_step dispatches.
+    f_s, fe_s = None, feats
+    st_s = stack
+    obs_seq, packed_seq = [], None
+    pq, pt = prev_q, prev_t
+    for b, (im, (q, t)) in enumerate(zip(imgs, poses)):
+        (f_s, st2, fe_s, curr_s, member_s, _stats, obs, packed_seq) = \
+            pipeline.frame_track_step(
+                params, K, Kinv, st_s, fe_s, jnp.asarray(im),
+                jnp.int32(10 + b), q, t, 0, pq, pt, jnp.int32(0), seed,
+                do_detect=False, do_insert=(b == 0),
+                height=Hh, width=Ww)
+        if st2 is not None:
+            st_s = st2
+        obs_seq.append(obs)
+        pq, pt = f_s.q, f_s.t
+
+    # --- Batched: one batch_step dispatch over the same two frames.
+    topo_words = 2 + 3 * params.triangle_capacity + 3 * params.edge_capacity
+    buf = jnp.zeros((2 * topo_words,), jnp.uint8)
+    dev_imgs = tuple(jnp.asarray(im) for im in imgs)
+    (f_b, st_b, fe_b, curr_b, member_b, _stats_b, obs_b, packed_b,
+     *_rest) = pipeline.batch_step(
+        params, K, Kinv, stack, feats, graph, jnp.float32(1.0), buf,
+        np.array([10, 11], np.int32), tuple(p[0] for p in poses),
+        tuple(p[1] for p in poses), np.array([True, False]),
+        np.array([False, False]), np.array([0, 0], np.int32),
+        np.array([0, 0], np.int32), prev_q, prev_t, prev_q, prev_t,
+        seed, jnp.asarray(False), n_frames=2, height=Hh, width=Ww,
+        imgs=dev_imgs)
+
+    for fld in fe_s._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fe_s, fld)), np.asarray(getattr(fe_b, fld)),
+            err_msg=f"feats.{fld}")
+    for b in range(2):
+        for fld in obs_seq[b]._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(obs_seq[b], fld)),
+                np.asarray(jax.tree.map(lambda a: a[b], obs_b)._asdict()[fld]),
+                err_msg=f"obs[{b}].{fld}")
+    np.testing.assert_array_equal(np.asarray(packed_seq),
+                                  np.asarray(packed_b))
+    np.testing.assert_array_equal(np.asarray(member_s),
+                                  np.asarray(member_b))
+    for fld in curr_s._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(curr_s, fld)), np.asarray(getattr(curr_b, fld)),
+            err_msg=f"curr.{fld}")

@@ -165,3 +165,43 @@ def test_halo_e2e_state_stays_sharded(run_halo):
     fl, mode = run_halo
     sh = fl._feats.idepth_mu.sharding
     assert len(sh.device_set) == 4, mode
+
+
+def test_sharded_ba_e2e():
+    """ShardedFlame(do_ba=True) must reach the observation-sharded psum'd
+    BA assembly through BundleAdjuster.solve (VERDICT r2 #3): max_obs is
+    deliberately NOT divisible by the mesh size (rows are padded inside
+    solve_window_sharded) and aniso_weights routes sqrtW through the
+    sharded path too. The solve must run, be counted, be accepted, and
+    keep the (already-correct) synthetic poses near-unchanged."""
+    import dataclasses
+    from flame_tpu.params import BAParams
+
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    params = Params(
+        feature_capacity=512, edge_capacity=2048, triangle_capacity=1024,
+        poseframe_capacity=8, min_height=-100.0, max_height=100.0,
+        idepth_init=0.05, idepth_var_init=0.25,
+        detection=DetectionParams(win_size=16),
+        solver=SolverParams(n_iters_per_frame=30, max_vertex_degree=16),
+        do_ba=True,
+        ba=BAParams(window_size=4, n_gn_iters=3, obs_capacity=4096,
+                    max_landmarks=256, max_obs=1001, aniso_weights=True),
+        debug_quiet=True)
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+    fl = ShardedFlame(W, H, K, camera.inv_k(K), params, mesh=mesh)
+    gt = []
+    for i in range(14):
+        cam_x = 0.15 * i
+        t = np.array([cam_x, 0.0, 0.0])
+        gt.append(t)
+        fl.update(i * 0.1, i, (se3.quat_identity(), jnp.asarray(t)),
+                  render(cam_x), i % 2 == 0)
+    assert fl.stats.stats("ba_sharded_solves") >= 1
+    assert fl.stats.stats("ba_single_solves") == 0.0
+    assert fl._ba.last_cost is not None and np.isfinite(fl._ba.last_cost)
+    assert fl._ba.last_accepted
+    # Input poses are exact; an accepted solve must not corrupt them.
+    for fid, slot in fl._pf_slot_by_id.items():
+        t_dev = np.asarray(fl._stack.t[slot])
+        assert np.linalg.norm(t_dev - gt[fid]) < 0.02, (fid, t_dev)
