@@ -85,10 +85,31 @@ def trajectory(i: int) -> Tuple[np.ndarray, np.ndarray]:
     return q, t
 
 
+# Occluding box (with_box=True): a free-standing obstacle in the
+# corridor. Its front face sits ~3.4 m from the start of the trajectory,
+# creating a genuine depth DISCONTINUITY against the side/back walls
+# (2-5 m behind it) and genuinely occluded epipolar matches as the
+# camera translates past it — the pathologies the reference's chi^2
+# outlier gate (inverse_depth_filter.cc:268-305), dropout counters and
+# oblique-triangle filter (flame.cc:2207-2283) exist for.
+_BOX_X = (-0.75, -0.05)
+_BOX_Y = (-0.15, _FLOOR_Y)  # stands on the floor
+_BOX_Z = (3.4, 4.2)
+
+
 def render_frame(K: np.ndarray, q: np.ndarray, t: np.ndarray,
-                 width: int, height: int, seed: int = 7
+                 width: int, height: int, seed: int = 7,
+                 with_box: bool = False,
+                 exposure_gain: float = 1.0,
+                 exposure_bias: float = 0.0,
+                 noise_sigma: float = 0.0,
+                 noise_rng: Optional[np.random.Generator] = None,
                  ) -> Tuple[np.ndarray, np.ndarray]:
-    """Ray-cast the corridor. Returns (uint8 image, float32 idepth map)."""
+    """Ray-cast the corridor. Returns (uint8 image, float32 idepth map).
+
+    with_box adds the occluding box; exposure_gain/bias model per-frame
+    photometric drift (applied before quantization); noise_sigma adds
+    i.i.d. Gaussian sensor noise (intensity units, needs noise_rng)."""
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
     vv, uu = np.mgrid[0:height, 0:width].astype(np.float64)
@@ -105,8 +126,15 @@ def render_frame(K: np.ndarray, q: np.ndarray, t: np.ndarray,
     best_t = np.full((height, width), np.inf)
     val = np.zeros((height, width))
 
-    def hit(axis, plane, tex_axes, tseed):
+    def hit(axis, plane, tex_axes, tseed, bounds=None):
+        """Intersect rays with a bounded axis-aligned plane. bounds:
+        {axis: (lo, hi)} limits for the non-plane axes (default: the
+        corridor extents)."""
         nonlocal best_t, val
+        if bounds is None:
+            bounds = {0: (_LEFT_X - 1e-6, _RIGHT_X + 1e-6),
+                      1: (_CEIL_Y - 1e-6, _FLOOR_Y + 1e-6),
+                      2: (-np.inf, _BACK_Z + 1e-6)}
         denom = dw[..., axis]
         with np.errstate(divide="ignore", invalid="ignore"):
             th = (plane - o[axis]) / denom
@@ -115,10 +143,7 @@ def render_frame(K: np.ndarray, q: np.ndarray, t: np.ndarray,
         # to the plane would otherwise emit RuntimeWarnings (inf * 0).
         th_safe = np.where(ok, th, 1.0)
         pt = o[None, None, :] + th_safe[..., None] * dw
-        # Stay inside the corridor box.
-        for ax, lo, hi in ((0, _LEFT_X - 1e-6, _RIGHT_X + 1e-6),
-                           (1, _CEIL_Y - 1e-6, _FLOOR_Y + 1e-6),
-                           (2, -np.inf, _BACK_Z + 1e-6)):
+        for ax, (lo, hi) in bounds.items():
             if ax != axis:
                 ok &= (pt[..., ax] >= lo) & (pt[..., ax] <= hi)
         ok &= th < best_t
@@ -135,6 +160,14 @@ def render_frame(K: np.ndarray, q: np.ndarray, t: np.ndarray,
     hit(0, _RIGHT_X, (1, 2), seed + 4)
     hit(2, _BACK_Z, (0, 1), seed + 5)
 
+    if with_box:
+        bb = {0: _BOX_X, 1: _BOX_Y, 2: _BOX_Z}
+        # Front/top/side faces (the back face is never the nearest hit).
+        hit(2, _BOX_Z[0], (0, 1), seed + 6, bounds=bb)
+        hit(1, _BOX_Y[0], (0, 2), seed + 7, bounds=bb)
+        hit(0, _BOX_X[0], (1, 2), seed + 8, bounds=bb)
+        hit(0, _BOX_X[1], (1, 2), seed + 9, bounds=bb)
+
     # Camera-frame depth of the hit point (z component). Mask misses
     # (best_t = inf) before the multiply for the same warning reason.
     t_safe = np.where(np.isfinite(best_t), best_t, 1.0)
@@ -142,7 +175,12 @@ def render_frame(K: np.ndarray, q: np.ndarray, t: np.ndarray,
     z_cam = hitp @ R[:, 2]
     idepth = np.where(np.isfinite(best_t) & (z_cam > 1e-6),
                       1.0 / np.maximum(z_cam, 1e-6), np.nan)
-    return val.astype(np.uint8), idepth.astype(np.float32)
+    val = exposure_gain * val + exposure_bias
+    if noise_sigma > 0.0:
+        rng = noise_rng if noise_rng is not None \
+            else np.random.default_rng(seed)
+        val = val + rng.normal(0.0, noise_sigma, val.shape)
+    return np.clip(val, 0, 255).astype(np.uint8), idepth.astype(np.float32)
 
 
 def generate_mini_tum(root: str, n_frames: int = 24, width: int = 256,
@@ -150,7 +188,10 @@ def generate_mini_tum(root: str, n_frames: int = 24, width: int = 256,
                       seed: int = 7,
                       pose_noise_t: float = 0.0,
                       pose_noise_deg: float = 0.0,
-                      noise_seed: int = 0) -> dict:
+                      noise_seed: int = 0,
+                      with_box: bool = False,
+                      exposure_drift: float = 0.0,
+                      noise_sigma: float = 0.0) -> dict:
     """Write a TUM-format sequence to `root`.
 
     groundtruth.txt always holds the TRUE trajectory; when pose_noise_* is
@@ -158,6 +199,13 @@ def generate_mini_tum(root: str, n_frames: int = 24, width: int = 256,
     input an external odometry would supply), letting BA evaluation
     compare ATE of noisy vs refined poses against ground truth.
     Returns {"K", "gt": [(q, t)], "noisy": [(q, t)] or None}.
+
+    Non-ideal imagery knobs (VERDICT r2 #4): with_box adds a
+    free-standing occluder (depth discontinuity + occluded matches);
+    exposure_drift applies a per-frame gain 1 + drift*sin(i/4) and bias
+    8*drift*sin(i/3) (slow photometric weather); noise_sigma adds
+    per-frame i.i.d. Gaussian sensor noise (deterministic in
+    noise_seed).
     """
     from PIL import Image
 
@@ -171,9 +219,14 @@ def generate_mini_tum(root: str, n_frames: int = 24, width: int = 256,
     rgb_lines = []
     gt_lines = []
     noisy_lines = []
+    img_rng = np.random.default_rng(noise_seed + 1)
     for i in range(n_frames):
         q, t = trajectory(i)
-        img, _ = render_frame(K, q, t, width, height, seed)
+        img, _ = render_frame(
+            K, q, t, width, height, seed, with_box=with_box,
+            exposure_gain=1.0 + exposure_drift * np.sin(i / 4.0),
+            exposure_bias=8.0 * exposure_drift * np.sin(i / 3.0),
+            noise_sigma=noise_sigma, noise_rng=img_rng)
         name = f"rgb/{i:06d}.png"
         Image.fromarray(img, mode="L").save(os.path.join(root, name))
         ts = f"{i * 0.1:.6f}"

@@ -38,6 +38,32 @@ from flame_tpu.params import RegularizerParams
 
 AXIS = "graph"
 
+# Per-call ICI traffic of the most recent halo_smooth trace (static in
+# the configuration, so trace-time assignment is exact). See
+# traffic_model.
+LAST_TRAFFIC = None
+
+
+def traffic_model(V: int, n_dev: int, n_iters: int, halo: int,
+                  dtype_bytes: int = 4) -> dict:
+    """Analytical ICI traffic of one halo_smooth call — exact, because
+    the exchange is structural: per iteration each device ppermutes its
+    two boundary strips of the (halo, 3) bar-state to its neighbors,
+    INDEPENDENT of V (boundary scaling, not volume scaling; contrast the
+    edge-sharded smoother's O(V) psum, sharding.py). This is the
+    checkable scaling model real multi-chip hardware would confirm
+    (tests/test_scaling_model.py sweeps it on virtual meshes)."""
+    strip = halo * 3 * dtype_bytes  # one boundary strip of xb/w1b/w2b
+    return {
+        "smoother": "halo",
+        "n_devices": n_dev,
+        "block_rows_per_device": V // n_dev,  # per-device work ~ V/n
+        "collectives_per_iter": 2,  # two ppermutes (left + right strip)
+        "bytes_per_device_per_iter": 2 * strip,
+        "bytes_per_device_total": 2 * strip * n_iters,
+        "bytes_all_devices_total": 2 * strip * n_iters * n_dev,
+    }
+
 
 def rank_layout(g: nltgv2.GraphState, perm, inv_perm, ranks_p, degree: int,
                 halo: int):
@@ -181,6 +207,8 @@ def halo_smooth(p: RegularizerParams, g: nltgv2.GraphState, perm, inv_perm,
     n_dev = mesh.devices.size
     assert V % n_dev == 0, "vertex capacity % devices"
     assert V // n_dev >= halo, "halo wider than a vertex block"
+    global LAST_TRAFFIC
+    LAST_TRAFFIC = traffic_model(V, int(n_dev), n_iters, halo)
 
     vtx, slots, src_slot_p, alive = rank_layout(g, perm, inv_perm, ranks_p,
                                                 degree, halo)

@@ -61,6 +61,30 @@ from flame_tpu.optimize import pallas_smoother as ps
 
 LANES = ps.LANES
 
+# Per-call ICI traffic of the most recent smooth_sharded trace (static
+# in the configuration). See traffic_model.
+LAST_TRAFFIC = None
+
+
+def traffic_model(V: int, n_dev: int, n_iters: int, reach: int,
+                  dtype_bytes: int = 4) -> dict:
+    """Analytical ICI traffic of one smooth_sharded call — exact: per
+    iteration each device issues 2 async remote DMAs carrying its top
+    and bottom `reach` rank-rows of the 3 bar-state fields (128 lanes),
+    INDEPENDENT of V. Boundary scaling; per-device compute scales with
+    its row block R/n."""
+    strip = reach * LANES * 3 * dtype_bytes
+    R = ps._rows(V)
+    return {
+        "smoother": "pallas_halo",
+        "n_devices": n_dev,
+        "block_rows_per_device": R // n_dev,  # rank rows of 128 lanes
+        "collectives_per_iter": 2,  # two remote DMAs (up + down strip)
+        "bytes_per_device_per_iter": 2 * strip,
+        "bytes_per_device_total": 2 * strip * n_iters,
+        "bytes_all_devices_total": 2 * strip * n_iters * n_dev,
+    }
+
 
 def _halo_kernel(p: RegularizerParams, n_iters: int, degree: int,
                  reach: int, axis: str,
@@ -271,6 +295,8 @@ def smooth_sharded(p: RegularizerParams, g, perm, inv_perm, ranks_p,
     n_dev = mesh.shape[axis]
     assert R % n_dev == 0, (R, n_dev)
     assert R // n_dev >= reach, ("block must cover the halo", R, n_dev)
+    global LAST_TRAFFIC
+    LAST_TRAFFIC = traffic_model(V, int(n_dev), n_iters, reach)
 
     vtx, slots, src_slot_p, alive = ps.build_layout(
         g, perm, inv_perm, ranks_p, degree, reach)

@@ -32,6 +32,29 @@ from flame_tpu.core.frame import Frame, FrameStack
 
 AXIS = "graph"
 
+# Per-call ICI traffic of the most recent sharded_smooth trace. See
+# psum_traffic_model.
+LAST_TRAFFIC = None
+
+
+def psum_traffic_model(V: int, n_dev: int, n_iters: int,
+                       dtype_bytes: int = 4) -> dict:
+    """Analytical ICI traffic of the edge-sharded smoother: one (V, 3)
+    float32 psum per iteration. A ring all-reduce moves ~2(n-1)/n of the
+    payload through each device — O(V) VOLUME scaling, the contrast to
+    the halo smoothers' O(1) boundary exchange (halo.traffic_model)."""
+    payload = V * 3 * dtype_bytes
+    per_dev = int(2 * (n_dev - 1) / max(n_dev, 1) * payload)
+    return {
+        "smoother": "edge_psum",
+        "n_devices": n_dev,
+        "edge_rows_per_device": None,  # set by caller (E // n)
+        "collectives_per_iter": 1,  # one (V, 3) psum
+        "bytes_per_device_per_iter": per_dev,
+        "bytes_per_device_total": per_dev * n_iters,
+        "bytes_all_devices_total": per_dev * n_iters * n_dev,
+    }
+
 
 def make_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -129,6 +152,11 @@ def sharded_smooth(p: RegularizerParams, g: nltgv2.GraphState, n_iters: int,
     Edge capacity must divide the mesh size. Numerically identical to
     nltgv2.smooth (up to float reduction order).
     """
+    global LAST_TRAFFIC
+    LAST_TRAFFIC = psum_traffic_model(g.x.shape[0],
+                                      int(mesh.devices.size), n_iters)
+    LAST_TRAFFIC["edge_rows_per_device"] = \
+        g.q1.shape[0] // int(mesh.devices.size)
     rep = P()
     eshard = P(AXIS)
     body = functools.partial(_sharded_smooth_body, p, n_iters)
