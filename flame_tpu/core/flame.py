@@ -868,6 +868,7 @@ class Flame:
         # time (it must be computed against the edges of the topology the
         # device graph holds when THIS one is applied).
         pallas = self._pallas_layout
+        n_band_dropped = n_deg_dropped = 0
         buf = np.zeros(self._topo_words, np.uint16)
         buf[0] = n_tris
         buf[1] = n_edges
@@ -887,12 +888,26 @@ class Flame:
                                        p.solver.pallas_reach)
             buf[2 + 3 * T_cap + 3 * E_cap:] = perm.astype(np.uint16)
             n_rank_dropped = int((ranks[:n_edges, 0] == 255).sum())
+            if n_rank_dropped:
+                # Attribute the drop: RCM band overflow (raise
+                # pallas_reach) vs per-vertex slot overflow (raise
+                # max_vertex_degree) — the remedies differ.
+                from flame_tpu.optimize import pallas_smoother as _ps
+                lo_p = inv[edges_sorted[:n_edges, 0]].astype(np.int64)
+                hi_p = inv[edges_sorted[:n_edges, 1]].astype(np.int64)
+                n_band_dropped = int((np.abs(lo_p // _ps.LANES
+                                             - hi_p // _ps.LANES)
+                                      > p.solver.pallas_reach).sum())
+                n_deg_dropped = n_rank_dropped - n_band_dropped
         else:
             ranks = topology.build_edge_ranks(edges_sorted, V, E_cap)
             deg = p.solver.max_vertex_degree
             n_rank_dropped = int(
                 ((ranks[:n_edges, 0] >= deg)
                  | (ranks[:n_edges, 1] >= deg)).sum())
+            # Vertex-mode rank drops are by definition incidence-slot
+            # (degree) overflows; no band exists.
+            n_deg_dropped = n_rank_dropped
         rk = (np.minimum(ranks[:, 0], 255).astype(np.uint16)
               | (np.minimum(ranks[:, 1], 255).astype(np.uint16) << 8))
         buf[2 + 3 * T_cap + E_cap: 2 + 3 * T_cap + 2 * E_cap] = rk
@@ -904,14 +919,17 @@ class Flame:
         self.stats.set("tris_truncated", n_tris_dropped)
         self.stats.set("edges_truncated", n_edges_dropped)
         self.stats.set("edges_rank_dropped", n_rank_dropped)
+        self.stats.set("edges_band_dropped", n_band_dropped)
+        self.stats.set("edges_degree_dropped", n_deg_dropped)
         if (n_tris_dropped or n_edges_dropped or n_rank_dropped) \
                 and not self._warned_capacity:
             self._warned_capacity = True
             import sys as _sys
             print(f"flame_tpu: capacity drops (tris={n_tris_dropped}, "
-                  f"edges={n_edges_dropped}, rank={n_rank_dropped}); "
-                  f"raise triangle/edge capacity or max_vertex_degree",
-                  file=_sys.stderr)
+                  f"edges={n_edges_dropped}, band={n_band_dropped}, "
+                  f"degree={n_deg_dropped}); raise triangle/edge "
+                  f"capacity, pallas_reach (band) or max_vertex_degree "
+                  f"(degree)", file=_sys.stderr)
         self.stats.tock("triangulate")
         return (buf, n_tris, tris_slots, edges_sorted, n_edges)
 
@@ -1358,5 +1376,12 @@ class Flame:
             "edges_truncated": int(self.stats.stats("edges_truncated")),
             "edges_rank_dropped": int(
                 self.stats.stats("edges_rank_dropped")),
+            # Cause split of rank drops (pallas-layout smoothers): RCM
+            # band overflow -> raise solver.pallas_reach; per-vertex
+            # slot overflow -> raise solver.max_vertex_degree.
+            "edges_band_dropped": int(
+                self.stats.stats("edges_band_dropped")),
+            "edges_degree_dropped": int(
+                self.stats.stats("edges_degree_dropped")),
             "members_deduped": int(self.stats.stats("members_deduped")),
         }
