@@ -899,6 +899,22 @@ class Flame:
                                              - hi_p // _ps.LANES)
                                       > p.solver.pallas_reach).sum())
                 n_deg_dropped = n_rank_dropped - n_band_dropped
+            if self._smoother_mode == "halo" \
+                    and self._sharding_mesh is not None:
+                # The ppermute halo smoother additionally drops edges
+                # spanning more ranks than its strip width (clamped to
+                # the per-device block when V/n is small) — count them
+                # so the clamp is never a SILENT truncation.
+                n_dev = int(self._sharding_mesh.devices.size)
+                halo_w = min(V // n_dev,
+                             (p.solver.pallas_reach + 1) * 128)
+                dist = np.abs(
+                    inv[edges_sorted[:n_edges, 0]].astype(np.int64)
+                    - inv[edges_sorted[:n_edges, 1]].astype(np.int64))
+                extra = int(((dist > halo_w)
+                             & (ranks[:n_edges, 0] != 255)).sum())
+                n_band_dropped += extra
+                n_rank_dropped += extra
         else:
             ranks = topology.build_edge_ranks(edges_sorted, V, E_cap)
             deg = p.solver.max_vertex_degree
@@ -986,9 +1002,14 @@ class Flame:
 
         # Second async stage: Delaunay + RCM in their own worker so their
         # ~8 ms never extend the blocking fetch join. A still-unjoined
-        # previous result is adopted first (never dropped — its staleness
-        # masking is no worse than skipping a topology update).
-        self._adopt_tri_result(force=bool(p.solver.deterministic))
+        # previous result is adopted first — joined FORCIBLY if the
+        # worker is mid-flight (never dropped: when two transfers drain
+        # in one update, overwriting the pending handle would orphan a
+        # nearly-finished triangulation; its staleness masking is no
+        # worse than skipping a topology update).
+        self._adopt_tri_result(
+            force=bool(p.solver.deterministic)
+            or self._tri_pending is not None)
         self._tri_pending = (_AsyncWork(
             lambda pk=packed: self._host_triangulate(pk)), packed_frame)
         return True

@@ -177,9 +177,16 @@ def render_frame(K: np.ndarray, q: np.ndarray, t: np.ndarray,
                       1.0 / np.maximum(z_cam, 1e-6), np.nan)
     val = exposure_gain * val + exposure_bias
     if noise_sigma > 0.0:
-        rng = noise_rng if noise_rng is not None \
-            else np.random.default_rng(seed)
-        val = val + rng.normal(0.0, noise_sigma, val.shape)
+        if noise_rng is None:
+            # A seed-derived fallback would re-seed identically every
+            # call, adding the SAME noise field to every frame — frozen
+            # fixed-pattern noise that tracking trivially tolerates, so
+            # a stress test written that way would silently measure
+            # nothing. Require the caller to thread a generator.
+            raise ValueError("noise_sigma > 0 requires noise_rng (a "
+                             "np.random.Generator advanced across "
+                             "frames)")
+        val = val + noise_rng.normal(0.0, noise_sigma, val.shape)
     return np.clip(val, 0, 255).astype(np.uint8), idepth.astype(np.float32)
 
 

@@ -87,6 +87,10 @@ def save(path: str, fl) -> None:
                           for k, v in fl._pf_slot_by_id.items()},
         "curr_pf_slot": fl._curr_pf_slot,
         "curr_pf_id": fl._curr_pf_id,
+        # Verbatim, order included: _alloc_pf_slot pops from the END, so
+        # re-deriving the free list in sorted order would make the next
+        # allocation differ from the saved-and-continued run.
+        "pf_free": [int(s) for s in fl._pf_free],
         "feat_id_counter": fl._feat_id_counter,
         "dispatches": fl._dispatches,
         "coalesce": bool(getattr(fl, "_coalesce", False)),
@@ -206,9 +210,13 @@ def load(path: str, fl) -> None:
     fl._staged_offset = int(header.get("staged_offset", 0))
     fl._staged_fresh = bool(header.get("staged_fresh", False))
     fl._staged_frame = header.get("staged_frame")
-    used = set(fl._pf_slot_by_id.values())
-    fl._pf_free = [s for s in range(fl.params.poseframe_capacity)
-                   if s not in used]
+    if "pf_free" in header:
+        fl._pf_free = [int(s) for s in header["pf_free"]]
+    else:  # older snapshot: derive (ascending — allocation order may
+        # differ from the saved instance after prunes)
+        used = set(fl._pf_slot_by_id.values())
+        fl._pf_free = [s for s in range(fl.params.poseframe_capacity)
+                       if s not in used]
 
     def mkframe(name):
         if not header.get(name):

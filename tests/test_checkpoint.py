@@ -83,6 +83,17 @@ def test_checkpoint_midbatch_ba_bit_equal_resume(tmp_path):
     fl = Flame(W, H, K, Kinv, params)
     run_frames(fl, 0, 13)  # 13 frames: one frame buffered mid-batch
     assert len(fl._batch_pending) > 0, "mid-batch save must have pending"
+    # Prune several poseframes first: the freed-slot LIST ORDER feeds
+    # future slot allocation, so it must round-trip verbatim (a sorted
+    # reconstruction would make resumed allocations diverge).
+    # (prune flushes the pending batch, which promotes frame 12 to the
+    # current poseframe — it must be in keep_ids.)
+    keep = sorted(fl._pf_slot_by_id)[-3:] + [12]
+    fl.prune_poseframes(keep)
+    assert len(fl._pf_free) >= 2
+    # Refill the batch buffer so the save itself happens MID-BATCH.
+    run_frames(fl, 13, 19)
+    assert len(fl._batch_pending) > 0, "save must happen mid-batch"
     path = os.path.join(tmp_path, "ckpt_mid.npz")
     checkpoint.save(path, fl)
     assert not fl._batch_pending  # quiesced: buffered frames flushed
@@ -96,8 +107,8 @@ def test_checkpoint_midbatch_ba_bit_equal_resume(tmp_path):
         np.asarray(fl._feats.idepth_mu), np.asarray(fl2._feats.idepth_mu))
 
     # Continue BOTH runs identically; trajectories must stay bit-equal.
-    run_frames(fl, 13, 22)
-    run_frames(fl2, 13, 22)
+    run_frames(fl, 19, 28)
+    run_frames(fl2, 19, 28)
     a = fl.get_inverse_depth_map()
     b = fl2.get_inverse_depth_map()
     np.testing.assert_array_equal(a, b)
