@@ -861,6 +861,17 @@ class Flame:
         edges_sorted = np.stack([ucodes // V, ucodes % V], axis=1)
         n_edges = edges_sorted.shape[0]
 
+        # Per-edge lengths order each vertex's incident-slot ranks
+        # (shortest first): Delaunay degree is unbounded on clustered
+        # member sets (hub vertices of 17-25 edges observed at VGA), so
+        # slot-capacity overflow is made to drop the LONGEST incident
+        # edges — the weakest alpha=1/len couplings — rather than
+        # arbitrary ones.
+        pos_by_slot = np.zeros((V, 2), np.float32)
+        pos_by_slot[member_slots] = xy
+        ed = pos_by_slot[edges_sorted[:, 0]] - pos_by_slot[edges_sorted[:, 1]]
+        elen = np.sqrt((ed * ed).sum(axis=1))
+
         # ONE u16 upload: [n_tris, n_edges | tris flat | edge_src | ranks
         # | carry | perm (pallas mode)]. The tunnel link is the
         # pipeline's scarcest resource; this is one RPC instead of
@@ -885,7 +896,7 @@ class Flame:
             inv[perm] = np.arange(V, dtype=np.int32)
             ranks = ps.perm_edge_ranks(edges_sorted, n_edges, inv, E_cap,
                                        p.solver.max_vertex_degree,
-                                       p.solver.pallas_reach)
+                                       p.solver.pallas_reach, tie=elen)
             buf[2 + 3 * T_cap + 3 * E_cap:] = perm.astype(np.uint16)
             n_rank_dropped = int((ranks[:n_edges, 0] == 255).sum())
             if n_rank_dropped:
@@ -916,7 +927,8 @@ class Flame:
                 n_band_dropped += extra
                 n_rank_dropped += extra
         else:
-            ranks = topology.build_edge_ranks(edges_sorted, V, E_cap)
+            ranks = topology.build_edge_ranks(edges_sorted, V, E_cap,
+                                              tie=elen)
             deg = p.solver.max_vertex_degree
             n_rank_dropped = int(
                 ((ranks[:n_edges, 0] >= deg)

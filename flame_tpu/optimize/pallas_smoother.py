@@ -386,12 +386,14 @@ def _bfs_order(e: np.ndarray, v_cap: int, nodes: np.ndarray) -> np.ndarray:
 
 def perm_edge_ranks(edges: np.ndarray, n_e: int, inv_perm: np.ndarray,
                     e_cap: int, degree: int,
-                    reach: int = 2) -> np.ndarray:
+                    reach: int = 2, tie=None) -> np.ndarray:
     """(E, 2) uint8 [src_rank, dst_rank] of each edge among its permuted
     lo/hi vertex's incident edges. Edges violating the 127-rank band or
     overflowing `degree` on EITHER side get 255 on both (dropped
     consistently — unlike one-sided truncation, this keeps the two dual
-    copies identical)."""
+    copies identical). tie: optional per-edge sort key (e.g. length)
+    ordering each vertex's incident edges within its slot block, so
+    degree overflow drops the weakest couplings first."""
     ranks = np.full((e_cap, 2), 255, np.uint8)
     if n_e == 0:
         return ranks
@@ -400,19 +402,12 @@ def perm_edge_ranks(edges: np.ndarray, n_e: int, inv_perm: np.ndarray,
     v_cap = inv_perm.shape[0]
     band_ok = np.abs(lo_p // LANES - hi_p // LANES) <= reach
 
-    def rank_by(keys):
-        order = np.argsort(keys, kind="stable")
-        ks = keys[order]
-        firstk = np.searchsorted(ks, ks, side="left")
-        r = np.empty(n_e, np.int64)
-        r[order] = np.arange(n_e) - firstk
-        return r
-
-    sr = rank_by(lo_p)
+    from flame_tpu.optimize.topology import rank_within
+    sr = rank_within(lo_p, tie)
     # dst entries live ABOVE the vertex's src entries in its slot range so
     # the two never collide (same scheme as topology.build_edge_ranks).
     n_src = np.bincount(lo_p, minlength=v_cap)
-    dr = n_src[hi_p] + rank_by(hi_p)
+    dr = n_src[hi_p] + rank_within(hi_p, tie)
     ok = band_ok & (sr < degree) & (dr < degree)
     ranks[:n_e, 0] = np.where(ok, sr, 255).astype(np.uint8)
     ranks[:n_e, 1] = np.where(ok, dr, 255).astype(np.uint8)

@@ -136,12 +136,29 @@ def _build_incidence_from_ranks(lo_e, hi_e, edge_mask, ranks, e_cap, v_cap,
             src_slot)
 
 
+def rank_within(keys: np.ndarray, tie=None) -> np.ndarray:
+    """Rank of each element among equal `keys` values. With `tie`,
+    elements of a key group are ranked by ascending tie value (used to
+    give a vertex's LONGEST edges the highest slot ranks, so capacity
+    overflow drops the weakest alpha=1/len couplings first)."""
+    n = keys.shape[0]
+    order = (np.argsort(keys, kind="stable") if tie is None
+             else np.lexsort((tie, keys)))
+    ks = keys[order]
+    first = np.searchsorted(ks, ks, side="left")
+    r = np.empty(n, np.int64)
+    r[order] = np.arange(n) - first
+    return r
+
+
 def build_edge_ranks(edges_sorted: np.ndarray, n_vertices: int,
-                     e_cap: int) -> np.ndarray:
+                     e_cap: int, tie=None) -> np.ndarray:
     """Host-side companion to _build_incidence_from_ranks.
 
     edges_sorted: (n_e, 2) canonical (lo, hi) sorted by lo*V+hi. Returns
     (e_cap, 2) uint8 [src_rank, dst_slot_rank] (255-saturated), padded.
+    tie: optional per-edge sort key (e.g. length) ordering each vertex's
+    incident edges within its slot block; see rank_within.
     """
     _np = np
     n_e = edges_sorted.shape[0]
@@ -150,15 +167,9 @@ def build_edge_ranks(edges_sorted: np.ndarray, n_vertices: int,
         return ranks
     lo = edges_sorted[:, 0].astype(_np.int64)
     hi = edges_sorted[:, 1].astype(_np.int64)
-    first = _np.searchsorted(lo, lo, side="left")
-    src_rank = _np.arange(n_e) - first
+    src_rank = rank_within(lo, tie)
     n_src = _np.bincount(lo, minlength=n_vertices)
-    order = _np.argsort(hi, kind="stable")
-    hs = hi[order]
-    firsth = _np.searchsorted(hs, hs, side="left")
-    rankh = _np.empty(n_e, _np.int64)
-    rankh[order] = _np.arange(n_e) - firsth
-    dst_slot_rank = n_src[hi] + rankh
+    dst_slot_rank = n_src[hi] + rank_within(hi, tie)
     ranks[:n_e, 0] = _np.minimum(src_rank, 255)
     ranks[:n_e, 1] = _np.minimum(dst_slot_rank, 255)
     return ranks
