@@ -172,3 +172,52 @@ def test_scaling_table_printout(capsys):
             assert pb > 20 * phb  # psum volume vs RDMA boundary
         print(f"n={n:2d} block={blk:5d} halo_B/it={hb} "
               f"pallas_halo_B/it={phb} psum_B/it={pb}")
+
+
+def test_halo_clamp_drop_count_matches_rank_layout():
+    """The host-side halo-clamp accounting (flame._host_triangulate's
+    band counter) must equal the number of edges halo.rank_layout
+    actually kills on device — the 'no silent truncation' invariant for
+    the strip-width clamp. Uses a random (non-planar) graph whose RCM
+    bandwidth far exceeds a small halo."""
+    import jax.numpy as jnp
+    V, E_cap, D, halo_w = 512, 4096, 16, 64
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, V, 1200)
+    b = rng.integers(0, V, 1200)
+    keep = a != b
+    e = np.sort(np.stack([a[keep], b[keep]], 1), axis=1)
+    codes = e[:, 0] * V + e[:, 1]
+    _, idx = np.unique(codes, return_index=True)
+    e = e[np.sort(idx)]
+    e = e[np.argsort(e[:, 0].astype(np.int64) * V + e[:, 1])]
+    n_e = e.shape[0]
+    member = np.zeros(V, bool)
+    member[np.unique(e)] = True
+
+    perm = ps.rcm_order(e, n_e, V, member)
+    inv = np.empty(V, np.int32)
+    inv[perm] = np.arange(V, dtype=np.int32)
+    ranks = ps.perm_edge_ranks(e, n_e, inv, E_cap, D, REACH)
+
+    # Host-side prediction (the counter formula in _host_triangulate).
+    dist = np.abs(inv[e[:, 0]].astype(np.int64)
+                  - inv[e[:, 1]].astype(np.int64))
+    pred_extra = int(((dist > halo_w) & (ranks[:n_e, 0] != 255)).sum())
+    pred_rank = int((ranks[:n_e, 0] == 255).sum())
+
+    # Device-side truth: rank_layout's alive mask.
+    g = nltgv2.empty(V, E_cap, D)
+    edges_full = np.zeros((E_cap, 2), np.int64)
+    edges_full[:n_e] = e
+    g = g._replace(edges=jnp.asarray(edges_full.astype(np.int32)),
+                   edge_mask=jnp.asarray(np.arange(E_cap) < n_e),
+                   pos=jnp.asarray(rng.uniform(0, 100, (V, 2))
+                                   .astype(np.float32)))
+    *_, alive = halo.rank_layout(g, jnp.asarray(perm), jnp.asarray(inv),
+                                 jnp.asarray(ranks.astype(np.int32)), D,
+                                 halo_w)
+    n_killed = n_e - int(np.asarray(alive).sum())
+    assert pred_extra > 0  # the scenario actually exercises the clamp
+    assert n_killed == pred_rank + pred_extra, \
+        (n_killed, pred_rank, pred_extra)
