@@ -916,9 +916,10 @@ class Flame:
                 # spanning more ranks than its strip width (clamped to
                 # the per-device block when V/n is small) — count them
                 # so the clamp is never a SILENT truncation.
+                from flame_tpu.parallel import halo as _halo
                 n_dev = int(self._sharding_mesh.devices.size)
-                halo_w = min(V // n_dev,
-                             (p.solver.pallas_reach + 1) * 128)
+                halo_w = _halo.strip_width(V, n_dev,
+                                           p.solver.pallas_reach)
                 dist = np.abs(
                     inv[edges_sorted[:n_edges, 0]].astype(np.int64)
                     - inv[edges_sorted[:n_edges, 1]].astype(np.int64))

@@ -743,7 +743,7 @@ def _post_delaunay_inner(params: Params, K, Kinv, graph: nltgv2.GraphState,
                     params.rparams, graph, perm, inv_perm, edge_ranks,
                     params.solver.n_iters_per_frame,
                     params.solver.max_vertex_degree, mesh,
-                    halo=min(V // n_dev, (reach + 1) * 128))
+                    halo=halo_mod.strip_width(V, n_dev, reach))
             else:
                 from flame_tpu.parallel import pallas_halo as ph_mod
                 graph = ph_mod.smooth_sharded(
@@ -753,6 +753,16 @@ def _post_delaunay_inner(params: Params, K, Kinv, graph: nltgv2.GraphState,
                     reach=reach,
                     interpret=jax.default_backend() != "tpu")
         else:
+            if smoother in ("pallas", "halo", "pallas_halo"):
+                # These modes deliberately skipped the incidence-table
+                # build (rank_layout above); falling through to the
+                # vertex smoother would smooth against zeroed neighbor
+                # tables — silently wrong. Misconfiguration must fail
+                # loudly at trace time.
+                missing = ("perm (topology must come through the packed "
+                           "topo_buf)" if perm is None else "mesh")
+                raise ValueError(
+                    f"smoother={smoother!r} needs {missing}")
             graph = nltgv2.smooth(params.rparams, graph,
                                   params.solver.n_iters_per_frame,
                                   mode="vertex")

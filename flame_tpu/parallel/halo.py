@@ -38,10 +38,24 @@ from flame_tpu.params import RegularizerParams
 
 AXIS = "graph"
 
-# Per-call ICI traffic of the most recent halo_smooth trace (static in
-# the configuration, so trace-time assignment is exact). See
-# traffic_model.
+# ICI traffic of the most recently TRACED halo_smooth configuration.
+# Assigned at trace time only — executions served from the jit cache do
+# not update it (the numbers are static per configuration; for live
+# telemetry across multiple configs, call traffic_model directly with
+# your config instead of reading this).
 LAST_TRAFFIC = None
+
+LANES = 128  # rank rows are 128 lanes (pallas_smoother.LANES)
+
+
+def strip_width(v_cap: int, n_dev: int, reach: int) -> int:
+    """The halo strip width halo_smooth runs with in the pipeline: the
+    band the RCM rank build targets, clamped to the per-device block.
+    ONE definition — pipeline.post_delaunay's halo_smooth call and
+    flame._host_triangulate's drop counter must use the same number or
+    the edges_band_dropped stat silently diverges from what rank_layout
+    kills."""
+    return min(v_cap // n_dev, (reach + 1) * LANES)
 
 
 def traffic_model(V: int, n_dev: int, n_iters: int, halo: int,

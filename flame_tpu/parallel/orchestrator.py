@@ -77,11 +77,17 @@ class ShardedFlame(Flame):
             params = params.replace(
                 solver=dataclasses.replace(params.solver,
                                            smoother="vertex"))
-        if params.solver.smoother == "pallas_halo" \
-                and (params.feature_capacity // 128) % n:
-            raise ValueError(
-                "pallas_halo needs rank rows (feature_capacity/128) "
-                f"divisible by the mesh size {n}")
+        if params.solver.smoother == "pallas_halo":
+            rows = params.feature_capacity // 128
+            if rows % n or rows // n < params.solver.pallas_reach:
+                # Same constraints smooth_sharded asserts mid-sequence;
+                # fail at construction with an actionable message.
+                raise ValueError(
+                    f"pallas_halo needs rank rows (feature_capacity/128 "
+                    f"= {rows}) divisible by the mesh size {n} with >= "
+                    f"pallas_reach ({params.solver.pallas_reach}) rows "
+                    f"per device; raise feature_capacity or shrink the "
+                    f"mesh/reach")
         super().__init__(width, height, K, Kinv, params)
 
         shard = NamedSharding(self.mesh, P(AXIS))

@@ -61,8 +61,9 @@ from flame_tpu.optimize import pallas_smoother as ps
 
 LANES = ps.LANES
 
-# Per-call ICI traffic of the most recent smooth_sharded trace (static
-# in the configuration). See traffic_model.
+# ICI traffic of the most recently TRACED smooth_sharded configuration
+# (assigned at trace time only — cached executions do not update it;
+# for multi-config telemetry call traffic_model directly).
 LAST_TRAFFIC = None
 
 

@@ -32,8 +32,9 @@ from flame_tpu.core.frame import Frame, FrameStack
 
 AXIS = "graph"
 
-# Per-call ICI traffic of the most recent sharded_smooth trace. See
-# psum_traffic_model.
+# ICI traffic of the most recently TRACED sharded_smooth configuration
+# (assigned at trace time only — cached executions do not update it;
+# for multi-config telemetry call psum_traffic_model directly).
 LAST_TRAFFIC = None
 
 
