@@ -114,7 +114,8 @@ def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
     fp = params.fparams
     border = params.border
     row_offset = H // 3 if params.detection.do_letterbox else 0
-    n_steps = line_stereo.n_steps_for(fp.epilength_max)
+    n_steps = line_stereo.n_steps_for(fp.epilength_max,
+                                      fp.sparams.sample_dist)
 
     q_new, t_new = fnew.q, fnew.t
     geos = _feature_geos(K, Kinv, stack, feats, q_new, t_new)

@@ -120,6 +120,35 @@ class SearchResult(NamedTuple):
     residual: jax.Array  # (N,)
 
 
+def _patch_positions(epi_ref, rescale_factor, u_ref_padded):
+    """5-tap reference-patch sample positions at
+    u_ref_padded + j * epi_ref * rescale, j in [-2..2]."""
+    taps = jnp.arange(-2.0, 3.0)  # (5,)
+    off = taps[None, :, None] * (epi_ref * rescale_factor[:, None])[:, None, :]
+    return u_ref_padded[:, None, :] + off  # (N, 5, 2)
+
+
+def _gate_and_match(params: FilterParams, ref_patch, img_cmp, u_start,
+                    u_end, rescale_factor, n_steps: int) -> SearchResult:
+    """Patch-gradient gate + line-stereo match + status-code mapping —
+    ONE definition shared by search/search_stacked (the two paths must
+    map failures identically; ADVICE r3)."""
+    grads = jnp.abs(ref_patch[:, 1:] - ref_patch[:, :-1])
+    ref_grad_ok = jnp.max(grads, axis=-1) >= params.min_grad_mag
+
+    m = line_stereo.match(ref_patch, img_cmp, u_start, u_end,
+                          rescale_factor, params.sparams, n_steps)
+
+    status = jnp.where(
+        ~ref_grad_ok, FAIL_REF_PATCH_GRADIENT,
+        jnp.where(m.status == line_stereo.FAIL_AMBIGUOUS_MATCH,
+                  FAIL_AMBIGUOUS_MATCH,
+                  jnp.where(m.status == line_stereo.FAIL_MAX_COST,
+                            FAIL_MAX_COST, SUCCESS)))
+    return SearchResult(status=status.astype(jnp.int32), u_cmp=m.u_cmp,
+                        residual=m.residual)
+
+
 def search(params: FilterParams, geo: epipolar.EpiGeo,
            rescale_factor: jax.Array,
            img_ref: jax.Array, img_cmp: jax.Array,
@@ -137,29 +166,10 @@ def search(params: FilterParams, geo: epipolar.EpiGeo,
     coordinates here (flame.cc:1693), a small bias we do not reproduce.
     """
     epi_ref = epipolar.reference_epiline(geo, u_ref)  # (N, 2)
-
-    # 5-tap reference patch at u_ref_padded + j * epi_ref * rescale.
-    taps = jnp.arange(-2.0, 3.0)  # (5,)
-    off = taps[None, :, None] * (epi_ref * rescale_factor[:, None])[:, None, :]
-    ppos = u_ref_padded[:, None, :] + off  # (N, 5, 2)
+    ppos = _patch_positions(epi_ref, rescale_factor, u_ref_padded)
     ref_patch = interp.bilinear(img_ref, ppos[..., 0], ppos[..., 1])
-
-    # Patch gradient gate.
-    grads = jnp.abs(ref_patch[:, 1:] - ref_patch[:, :-1])
-    ref_grad_ok = jnp.max(grads, axis=-1) >= params.min_grad_mag
-
-    m = line_stereo.match(ref_patch, img_cmp, u_start, u_end, rescale_factor,
-                          params.sparams, n_steps)
-
-    # Map line_stereo codes into filter codes.
-    status = jnp.where(
-        ~ref_grad_ok, FAIL_REF_PATCH_GRADIENT,
-        jnp.where(m.status == line_stereo.FAIL_AMBIGUOUS_MATCH,
-                  FAIL_AMBIGUOUS_MATCH,
-                  jnp.where(m.status == line_stereo.FAIL_MAX_COST,
-                            FAIL_MAX_COST, SUCCESS)))
-    return SearchResult(status=status.astype(jnp.int32), u_cmp=m.u_cmp,
-                        residual=m.residual)
+    return _gate_and_match(params, ref_patch, img_cmp, u_start, u_end,
+                           rescale_factor, n_steps)
 
 
 def search_stacked(params: FilterParams, geo_batch,
@@ -175,28 +185,12 @@ def search_stacked(params: FilterParams, geo_batch,
     are anchored in different poseframes (reference flame.cc:1307-1332)."""
     epi_ref = jax.vmap(epipolar.reference_epiline)(
         geo_batch, u_ref)  # (N, 2)
-
-    taps = jnp.arange(-2.0, 3.0)
-    off = taps[None, :, None] * (epi_ref * rescale_factor[:, None])[:, None, :]
-    ppos = u_ref_padded[:, None, :] + off  # (N, 5, 2)
+    ppos = _patch_positions(epi_ref, rescale_factor, u_ref_padded)
     fidx = ref_frame_idx[:, None].repeat(5, axis=1)
     ref_patch = interp.bilinear_stack(imgs_ref, fidx,
                                       ppos[..., 0], ppos[..., 1])
-
-    grads = jnp.abs(ref_patch[:, 1:] - ref_patch[:, :-1])
-    ref_grad_ok = jnp.max(grads, axis=-1) >= params.min_grad_mag
-
-    m = line_stereo.match(ref_patch, img_cmp, u_start, u_end, rescale_factor,
-                          params.sparams, n_steps)
-
-    status = jnp.where(
-        ~ref_grad_ok, FAIL_REF_PATCH_GRADIENT,
-        jnp.where(m.status == line_stereo.FAIL_AMBIGUOUS_MATCH,
-                  FAIL_AMBIGUOUS_MATCH,
-                  jnp.where(m.status == line_stereo.FAIL_MAX_COST,
-                            FAIL_MAX_COST, SUCCESS)))
-    return SearchResult(status=status.astype(jnp.int32), u_cmp=m.u_cmp,
-                        residual=m.residual)
+    return _gate_and_match(params, ref_patch, img_cmp, u_start, u_end,
+                           rescale_factor, n_steps)
 
 
 def update(mu_pred: jax.Array, var_pred: jax.Array,
@@ -220,7 +214,12 @@ def update(mu_pred: jax.Array, var_pred: jax.Array,
 
     res = mu_meas - mu_pred
     dist = res * res / jnp.where(var_pred > 0, var_pred, 1e-24)
-    ok = dist <= outlier_sigma_thresh * outlier_sigma_thresh
+    # Reference semantics (inverse_depth_filter.cc:283-294): REJECT only
+    # when dist > thresh^2. An invalid (NaN) prior makes the C++
+    # comparison false -> the measurement is ACCEPTED (first-detection
+    # lanes take the raw measurement above); `dist <= t` would invert
+    # that for NaN.
+    ok = first | ~(dist > outlier_sigma_thresh * outlier_sigma_thresh)
 
     mu_post = jnp.maximum(mu_post, 0.0)
     return ok, mu_post, var_post

@@ -42,9 +42,13 @@ class MatchResult(NamedTuple):
     best_idx: jax.Array  # (N,) int32 integer step of the best match
 
 
-def n_steps_for(epilength_max: float) -> int:
-    """Static step-count bound for a given max epiline length."""
-    return int(math.ceil(epilength_max)) + 2
+def n_steps_for(epilength_max: float, sample_dist: float = 1.0) -> int:
+    """Static step-count bound for a given max epiline length at the
+    configured sample spacing (ignoring sample_dist would silently
+    truncate the searched segment when sample_dist < 1: the far end of a
+    long epiline would never be sampled, returning a confident wrong
+    minimum instead of the true match)."""
+    return int(math.ceil(epilength_max / sample_dist)) + 2
 
 
 def match(ref_patch: jax.Array, img_cmp: jax.Array, start: jax.Array,

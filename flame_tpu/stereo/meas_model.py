@@ -23,30 +23,26 @@ from flame_tpu.ops import interp
 from flame_tpu.params import MeasModelParams
 
 
-def idepth_measurement(params: MeasModelParams, geo: epipolar.EpiGeo,
-                       gradx_cmp: jax.Array, grady_cmp: jax.Array,
-                       u_ref: jax.Array, u_cmp: jax.Array):
-    """Batched measurement: u_ref, u_cmp are (..., 2).
+def _noise_model(params: MeasModelParams, d2i, u_ref, u_inf, epi,
+                 disp, mu, gx, gy):
+    """The shared LSD-SLAM variance model given a correspondence's
+    disparity geometry and the sampled comparison-image gradient.
 
-    Returns (ok, mu, var).
+    d2i: callable (u_ref, u_inf, epi, disp) -> idepth for the +/-10%
+    finite-difference alpha slope (the per-frame and stacked variants
+    differ only in how their geometry batch is threaded). ONE definition
+    of the gates/variances — the two entry points below must never
+    diverge (ADVICE r3). Returns (ok, mu, var).
     """
-    disp, u_inf, epi = epipolar.disparity(geo, u_ref, u_cmp)
     bad_disp = disp < 1e-3
-
-    mu = epipolar.disparity_to_idepth(geo, u_ref, u_inf, epi, disp)
     bad_mu = mu < 0.0
 
-    gx = interp.bilinear(gradx_cmp, u_cmp[..., 0], u_cmp[..., 1])
-    gy = interp.bilinear(grady_cmp, u_cmp[..., 0], u_cmp[..., 1])
     gnorm = jnp.sqrt(gx * gx + gy * gy)
     bad_grad = gnorm < 1e-3
-
     safe_gnorm = jnp.where(bad_grad, 1.0, gnorm)
-    ngx = gx / safe_gnorm
-    ngy = gy / safe_gnorm
 
-    # Geometric disparity variance.
-    epi_dot_ngrad = ngx * epi[..., 0] + ngy * epi[..., 1]
+    # Geometric disparity variance (unit-gradient projection).
+    epi_dot_ngrad = (gx * epi[..., 0] + gy * epi[..., 1]) / safe_gnorm
     bad_epigrad = jnp.abs(epi_dot_ngrad) < 1e-3
     safe_edn = jnp.where(bad_epigrad, 1.0, epi_dot_ngrad)
     geo_var = params.epipolar_line_var / (safe_edn * safe_edn)
@@ -60,17 +56,34 @@ def idepth_measurement(params: MeasModelParams, geo: epipolar.EpiGeo,
     # (inverse_depth_meas_model.cc:133-139).
     disp_min = disp - disp / 10.0
     disp_max = disp + disp / 10.0
-    id_min = epipolar.disparity_to_idepth(geo, u_ref, u_inf, epi, disp_min)
-    id_max = epipolar.disparity_to_idepth(geo, u_ref, u_inf, epi, disp_max)
-    denom = jnp.where(jnp.abs(disp_max - disp_min) > 0, disp_max - disp_min, 1.0)
+    id_min = d2i(u_ref, u_inf, epi, disp_min)
+    id_max = d2i(u_ref, u_inf, epi, disp_max)
+    denom = jnp.where(jnp.abs(disp_max - disp_min) > 0,
+                      disp_max - disp_min, 1.0)
     alpha = (id_max - id_min) / denom
 
     var = alpha * alpha * (geo_var + photo_var)
 
     ok = ~(bad_disp | bad_mu | bad_grad | bad_epigrad)
-    mu = jnp.where(ok, mu, 0.0)
-    var = jnp.where(ok, var, 1e10)
-    return ok, mu, var
+    return ok, jnp.where(ok, mu, 0.0), jnp.where(ok, var, 1e10)
+
+
+def idepth_measurement(params: MeasModelParams, geo: epipolar.EpiGeo,
+                       gradx_cmp: jax.Array, grady_cmp: jax.Array,
+                       u_ref: jax.Array, u_cmp: jax.Array):
+    """Batched measurement: u_ref, u_cmp are (..., 2).
+
+    Returns (ok, mu, var).
+    """
+    disp, u_inf, epi = epipolar.disparity(geo, u_ref, u_cmp)
+    mu = epipolar.disparity_to_idepth(geo, u_ref, u_inf, epi, disp)
+    gx = interp.bilinear(gradx_cmp, u_cmp[..., 0], u_cmp[..., 1])
+    gy = interp.bilinear(grady_cmp, u_cmp[..., 0], u_cmp[..., 1])
+
+    def d2i(ur, ui, ep, d):
+        return epipolar.disparity_to_idepth(geo, ur, ui, ep, d)
+
+    return _noise_model(params, d2i, u_ref, u_inf, epi, disp, mu, gx, gy)
 
 
 def idepth_measurement_stacked(params: MeasModelParams, geo_batch,
@@ -95,28 +108,8 @@ def idepth_measurement_stacked(params: MeasModelParams, geo_batch,
     disp, mu, epi, gx, gy, u_inf = jax.vmap(single)(
         geo_batch, frame_idx, u_ref, u_cmp)
 
-    bad_disp = disp < 1e-3
-    bad_mu = mu < 0.0
-    gnorm = jnp.sqrt(gx * gx + gy * gy)
-    bad_grad = gnorm < 1e-3
-    safe_gnorm = jnp.where(bad_grad, 1.0, gnorm)
-    epi_dot_ngrad = (gx * epi[..., 0] + gy * epi[..., 1]) / safe_gnorm
-    bad_epigrad = jnp.abs(epi_dot_ngrad) < 1e-3
-    safe_edn = jnp.where(bad_epigrad, 1.0, epi_dot_ngrad)
-    geo_var = params.epipolar_line_var / (safe_edn * safe_edn)
-    epi_dot_grad = gx * epi[..., 0] + gy * epi[..., 1]
-    safe_edg = jnp.where(jnp.abs(epi_dot_grad) > 0, epi_dot_grad, 1.0)
-    photo_var = 2.0 * params.pixel_var / (safe_edg * safe_edg)
+    def d2i(ur, ui, ep, d):
+        return jax.vmap(epipolar.disparity_to_idepth)(geo_batch, ur, ui,
+                                                      ep, d)
 
-    disp_min = disp - disp / 10.0
-    disp_max = disp + disp / 10.0
-    id_min = jax.vmap(epipolar.disparity_to_idepth)(
-        geo_batch, u_ref, u_inf, epi, disp_min)
-    id_max = jax.vmap(epipolar.disparity_to_idepth)(
-        geo_batch, u_ref, u_inf, epi, disp_max)
-    denom = jnp.where(jnp.abs(disp_max - disp_min) > 0, disp_max - disp_min, 1.0)
-    alpha = (id_max - id_min) / denom
-    var = alpha * alpha * (geo_var + photo_var)
-
-    ok = ~(bad_disp | bad_mu | bad_grad | bad_epigrad)
-    return ok, jnp.where(ok, mu, 0.0), jnp.where(ok, var, 1e10)
+    return _noise_model(params, d2i, u_ref, u_inf, epi, disp, mu, gx, gy)

@@ -349,3 +349,29 @@ def test_filter_pipeline_end_to_end():
     post = np.asarray(mu_post)
     assert np.all(np.abs(post - idepth_true) < np.abs(0.25 - idepth_true))
     assert np.all(np.asarray(var_post) < np.asarray(var_pred))
+
+
+def test_update_accepts_invalid_prior():
+    """Reference chi^2 semantics (inverse_depth_filter.cc:283-294):
+    reject only when dist > thresh^2 — a NaN/first-detection prior makes
+    that comparison false, so the raw measurement is ACCEPTED. `dist <=
+    thresh` would invert this for NaN (r3 review finding)."""
+    from flame_tpu.stereo import filter as idfilter
+    ok, mu, var = idfilter.update(
+        jnp.array([jnp.nan, 0.0, 0.2]), jnp.array([jnp.nan, 1e10, 0.01]),
+        jnp.array([0.5, 0.5, 0.21]), jnp.array([0.01, 0.01, 0.01]), 3.0)
+    assert bool(ok[0]) and float(mu[0]) == 0.5  # NaN prior: accepted raw
+    assert bool(ok[1]) and float(mu[1]) == 0.5  # <=0 prior: accepted raw
+    assert bool(ok[2])  # consistent fusion
+    # A genuinely inconsistent measurement still rejects.
+    ok2, _, _ = idfilter.update(
+        jnp.array([0.2]), jnp.array([1e-6]), jnp.array([0.9]),
+        jnp.array([0.01]), 3.0)
+    assert not bool(ok2[0])
+
+
+def test_n_steps_for_respects_sample_dist():
+    from flame_tpu.stereo import line_stereo
+    assert line_stereo.n_steps_for(32.0) == 34  # default spacing: as before
+    assert line_stereo.n_steps_for(32.0, 0.5) == 66
+    assert line_stereo.n_steps_for(32.0, 2.0) == 18
