@@ -223,18 +223,20 @@ class BundleAdjuster:
                              np.asarray(obs.u_obs)[slots])
 
     def _current_landmarks(self, fl):
-        """Map (feat_id, anchor_id) -> (slot, idepth) for live features."""
-        valid = fl._feat_valid_np
+        """Map (feat_id, anchor_id) -> (slot, idepth) for live features.
+        Vectorized selection + one zip (this sits on the per-poseframe
+        path; a per-slot Python loop with elementwise numpy indexing
+        cost several ms at 4k slots)."""
         feat_ids = np.asarray(fl._feats.feat_id)
         pf_slots = np.asarray(fl._feats.pf_slot)
         mu = np.asarray(fl._feats.idepth_mu)
         stack_ids = np.asarray(fl._stack.frame_id)
-        out = {}
-        for s in np.nonzero(valid)[0]:
-            if mu[s] > 1e-6:
-                out[(int(feat_ids[s]), int(stack_ids[pf_slots[s]]))] = \
-                    (int(s), float(mu[s]))
-        return out
+        sel = np.nonzero(fl._feat_valid_np & (mu > 1e-6))[0]
+        anchors = stack_ids[pf_slots[sel]]
+        return {(int(f), int(a)): (int(s), float(m))
+                for f, a, s, m in zip(feat_ids[sel].tolist(),
+                                      anchors.tolist(), sel.tolist(),
+                                      mu[sel].tolist())}
 
     def solve(self, fl, window_ids: Optional[List[int]] = None,
               n_fixed: int = 2) -> bool:

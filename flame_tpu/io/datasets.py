@@ -152,7 +152,7 @@ def load_euroc(root: str, cam: str = "cam0",
     + mav0/state_groundtruth_estimate0/data.csv (body pose in world,
     p_RS_R_* and q_RS_* columns: qw qx qy qz).
 
-    T_body_cam: optional 4x4 body-to-camera-frame extrinsic (the
+    T_body_cam: optional 4x4 camera-to-body extrinsic T_BS (the
     sensor.yaml T_BS); identity when omitted.
     """
     mav = os.path.join(root, "mav0")

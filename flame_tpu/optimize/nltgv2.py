@@ -484,15 +484,23 @@ def _smooth_vertex_centric(p: RegularizerParams, g: GraphState,
     x, w1, w2, VB, q1, q2, q3 = jax.lax.fori_loop(0, n_iters, body, init)
 
     # Write the duals back to the canonical per-edge arrays via each edge's
-    # src slot (dst fallback; sentinel slot V*D reads the padded zero).
-    def unslot(q):
-        return jnp.pad(q.reshape(-1), (0, 1))[g.src_slot]
+    # src slot (dst fallback). A valid edge whose BOTH incidence entries
+    # were dropped by degree overflow holds the sentinel slot V*D; its
+    # duals were not iterated this call, so its CARRIED values pass
+    # through untouched (the pallas path preserves them the same way —
+    # zeroing would destroy the dual warm-start across frames).
+    V = x.shape[0]
+    D = g.inc_edge.shape[1]
+    slotted = g.src_slot < V * D
+    def unslot(q, prev):
+        vals = jnp.pad(q.reshape(-1), (0, 1))[g.src_slot]
+        return jnp.where(slotted, vals, prev)
     em = g.edge_mask
     return g._replace(x=x, w1=w1, w2=w2,
                       x_bar=VB[:, 0], w1_bar=VB[:, 1], w2_bar=VB[:, 2],
-                      q1=jnp.where(em, unslot(q1), 0.0),
-                      q2=jnp.where(em, unslot(q2), 0.0),
-                      q3=jnp.where(em, unslot(q3), 0.0))
+                      q1=jnp.where(em, unslot(q1, g.q1), 0.0),
+                      q2=jnp.where(em, unslot(q2, g.q2), 0.0),
+                      q3=jnp.where(em, unslot(q3, g.q3), 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("p", "n_iters", "use_incidence",

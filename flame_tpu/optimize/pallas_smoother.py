@@ -326,11 +326,10 @@ def rcm_order(edges: np.ndarray, n_valid_edges: int, v_cap: int,
     """
     e = edges[:n_valid_edges]
     perm_members = _rcm(e, v_cap, member)
+    # _rcm returns exactly the member nodes, so the non-member tail is
+    # disjoint by construction.
     rest = np.nonzero(~member)[0]
-    in_perm = np.zeros(v_cap, bool)
-    in_perm[perm_members] = True
-    tail = np.concatenate([rest[~in_perm[rest]]]) if rest.size else rest
-    perm = np.concatenate([perm_members, tail]).astype(np.int32)
+    perm = np.concatenate([perm_members, rest]).astype(np.int32)
     assert perm.shape[0] == v_cap
     return perm
 

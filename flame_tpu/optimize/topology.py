@@ -113,8 +113,13 @@ def _build_incidence_from_ranks(lo_e, hi_e, edge_mask, ranks, e_cap, v_cap,
     """
     sr = ranks[:, 0].astype(jnp.int32)
     dr = ranks[:, 1].astype(jnp.int32)
-    keep_s = edge_mask & (sr < degree)
-    keep_d = edge_mask & (dr < degree)
+    # Degree overflow drops the edge on BOTH sides (consistent with
+    # pallas_smoother.perm_edge_ranks): a one-sidedly kept slot would
+    # apply the edge's primal force to one endpoint only, breaking
+    # K/K^T adjointness at hub vertices.
+    keep = edge_mask & (sr < degree) & (dr < degree)
+    keep_s = keep
+    keep_d = keep
     sentinel = jnp.int32(v_cap * degree)
     slot_s = jnp.where(keep_s, lo_e * degree + sr, sentinel)
     slot_d = jnp.where(keep_d, hi_e * degree + dr, sentinel)

@@ -158,7 +158,8 @@ def load(path: str, fl) -> None:
     """
     from flame_tpu.core import frame as frame_mod
 
-    data = np.load(path)
+    with np.load(path) as npz:
+        data = dict(npz)  # materialize; the zip handle must not leak
     header = json.loads(bytes(data["__header__"]).decode())
     assert header["width"] == fl.width and header["height"] == fl.height, \
         "checkpoint resolution mismatch"

@@ -40,7 +40,11 @@ class LoadTracker:
             parts = f.readline().split()[1:]
         vals = [int(v) for v in parts]
         idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
-        return sum(vals), idle
+        # Sum only the first 8 fields: guest/guest_nice (9/10) are
+        # already folded into user/nice by the kernel; including them
+        # double-counts guest time and under-reports utilization on
+        # virtualized hosts.
+        return sum(vals[:8]), idle
 
     def _read_proc_stat(self):
         with open(f"/proc/{self.pid}/stat") as f:

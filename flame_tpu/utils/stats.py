@@ -63,9 +63,13 @@ class StatsTracker:
         else:  # pragma: no cover
             ctx = _nullcontext()
         self.tick(name)
-        with ctx:
-            yield
-        self.tock(name)
+        try:
+            with ctx:
+                yield
+        finally:
+            # tock even when the body raises: a leaked tick would pin
+            # this stage's reported duration at its previous value.
+            self.tock(name)
 
     # --- Scalar stats. ---
 

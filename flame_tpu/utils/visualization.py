@@ -61,8 +61,12 @@ def draw_features(gray: np.ndarray, xy: np.ndarray, idepths: np.ndarray,
     colors = colormaps.idepth_color(np.asarray(idepths), scale)
     for (x, y), c in zip(np.asarray(xy), colors):
         xi, yi = int(round(x)), int(round(y))
-        img[max(0, yi - radius):min(H, yi + radius + 1),
-            max(0, xi - radius):min(W, xi + radius + 1)] = c
+        # Clamp BOTH slice ends to >= 0: a negative stop (feature well
+        # outside the frame) would wrap around and flood-fill most of
+        # the image.
+        y0, y1 = max(0, yi - radius), max(0, min(H, yi + radius + 1))
+        x0, x1 = max(0, xi - radius), max(0, min(W, xi + radius + 1))
+        img[y0:y1, x0:x1] = c
     return img
 
 
