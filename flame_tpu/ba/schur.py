@@ -109,6 +109,47 @@ def _solve_reduced(Hpp, bp, Hll, bl, W, damping, n_fixed, lm_valid):
     return dx_p, dx_l
 
 
+def gn_solve(params: BAParams, problem: BAProblem, n_fixed: int,
+             lm_valid, assemble):
+    """The damped Gauss-Newton driver shared by the single-device and
+    observation-sharded solves (ONE definition — the two paths used to
+    carry line-for-line copies of the prior/update/clip logic, which a
+    semantics fix then had to hit twice).
+
+    assemble(q, t, lm) -> (Hpp, bp, Hll, bl, W, cost); the caller bakes
+    in K/Kinv/obs/sqrtW and any psum. Returns (q', t', lm', final_cost).
+    """
+    P = problem.q.shape[0]
+    prior_q = problem.prior_q if problem.prior_q is not None else problem.q
+    prior_t = problem.prior_t if problem.prior_t is not None else problem.t
+
+    def body(_, state):
+        q, t, lm = state
+        Hpp, bp, Hll, bl, W, _ = assemble(q, t, lm)
+        if params.pose_prior_weight > 0:
+            # Prior residual e = log(T_curr * T_prior^-1) with identity
+            # Jacobian under the left perturbation.
+            e = jax.vmap(lambda qq, tt, pq, pt: se3.log(
+                se3.mul((qq, tt), se3.inverse((pq, pt)))))(
+                    q, t, prior_q, prior_t)
+            w = params.pose_prior_weight
+            bp = bp + w * e
+            Hpp = Hpp + w * jnp.eye(6)[None, None] * \
+                jnp.eye(P)[:, :, None, None]
+        dx_p, dx_l = _solve_reduced(Hpp, bp, Hll, bl, W, params.damping,
+                                    n_fixed, lm_valid)
+        qn, tn = jax.vmap(lambda xi, qq, tt: se3.mul(se3.exp(xi), (qq, tt)))(
+            dx_p, q, t)
+        lmn = jnp.clip(lm + dx_l, 1e-4, 1e3)
+        lmn = jnp.where(lm_valid, lmn, lm)
+        return qn, tn, lmn
+
+    q, t, lm = jax.lax.fori_loop(0, params.n_gn_iters, body,
+                                 (problem.q, problem.t, problem.lm_idepth))
+    *_, cost = assemble(q, t, lm)
+    return q, t, lm, cost
+
+
 @functools.partial(jax.jit, static_argnames=("params", "n_fixed"))
 def solve_window(params: BAParams, K, Kinv, problem: BAProblem,
                  n_fixed: int = 2, sqrtW=None):
@@ -121,37 +162,11 @@ def solve_window(params: BAParams, K, Kinv, problem: BAProblem,
     P = problem.q.shape[0]
     L = problem.lm_idepth.shape[0]
 
-    prior_q = problem.prior_q if problem.prior_q is not None else problem.q
-    prior_t = problem.prior_t if problem.prior_t is not None else problem.t
+    def assemble(q, t, lm):
+        return _assemble(K, Kinv, q, t, lm, problem.obs,
+                         params.huber_delta, P, L, sqrtW=sqrtW)
 
-    def body(_, state):
-        q, t, lm = state
-        Hpp, bp, Hll, bl, W, _ = _assemble(
-            K, Kinv, q, t, lm, problem.obs, params.huber_delta, P, L,
-            sqrtW=sqrtW)
-        if params.pose_prior_weight > 0:
-            # Prior residual e = log(T_curr * T_prior^-1) with identity
-            # Jacobian under the left perturbation.
-            e = jax.vmap(lambda qq, tt, pq, pt: se3.log(
-                se3.mul((qq, tt), se3.inverse((pq, pt)))))(
-                    q, t, prior_q, prior_t)
-            w = params.pose_prior_weight
-            bp = bp + w * e
-            Hpp = Hpp + w * jnp.eye(6)[None, None] * \
-                jnp.eye(P)[:, :, None, None]
-        dx_p, dx_l = _solve_reduced(Hpp, bp, Hll, bl, W, params.damping,
-                                    n_fixed, problem.lm_valid)
-        qn, tn = jax.vmap(lambda xi, qq, tt: se3.mul(se3.exp(xi), (qq, tt)))(
-            dx_p, q, t)
-        lmn = jnp.clip(lm + dx_l, 1e-4, 1e3)
-        lmn = jnp.where(problem.lm_valid, lmn, lm)
-        return qn, tn, lmn
-
-    q, t, lm = jax.lax.fori_loop(0, params.n_gn_iters, body,
-                                 (problem.q, problem.t, problem.lm_idepth))
-    _, _, _, _, _, cost = _assemble(K, Kinv, q, t, lm, problem.obs,
-                                    params.huber_delta, P, L, sqrtW=sqrtW)
-    return q, t, lm, cost
+    return gn_solve(params, problem, n_fixed, problem.lm_valid, assemble)
 
 
 def window_cost(params: BAParams, K, Kinv, problem: BAProblem) -> jax.Array:

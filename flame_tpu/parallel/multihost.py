@@ -29,16 +29,27 @@ def initialize(coordinator_address: Optional[str] = None,
                                process_id=process_id)
 
 
+def _device_grid(shape):
+    """Topology-aware device arrangement: enumeration order is NOT an
+    ICI-adjacency guarantee on pod slices, so let mesh_utils place mesh
+    axes along physical links (ring/torus) when it can; fall back to the
+    naive reshape on backends without topology info (virtual CPU)."""
+    try:
+        from jax.experimental import mesh_utils
+        return mesh_utils.create_device_mesh(tuple(shape))
+    except Exception:
+        return np.asarray(jax.devices()).reshape(tuple(shape))
+
+
 def global_mesh(axis: str = AXIS) -> Mesh:
     """1-D mesh over every device across all hosts."""
-    return Mesh(np.asarray(jax.devices()), (axis,))
+    return Mesh(_device_grid((len(jax.devices()),)), (axis,))
 
 
 def grid_mesh(shape: Sequence[int], axes: Sequence[str]) -> Mesh:
     """N-D mesh over all global devices, e.g. (hosts, chips-per-host) for
     keyframe-block x graph sharding."""
-    devs = np.asarray(jax.devices()).reshape(tuple(shape))
-    return Mesh(devs, tuple(axes))
+    return Mesh(_device_grid(shape), tuple(axes))
 
 
 def is_coordinator() -> bool:

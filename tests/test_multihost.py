@@ -75,6 +75,54 @@ g2 = sharding.sharded_smooth(RegularizerParams(), g, 10, mesh)
 x2 = np.asarray([s.data for s in g2.x.addressable_shards][0])
 assert np.isfinite(x2).all()
 
+# Observation-sharded BA across process boundaries: every process holds
+# the identical window (the SPMD deployment model); the solver converts
+# to global arrays internally and psums partial Hessians over the
+# 2-process mesh. Result must match the local single-device solve.
+from flame_tpu.ba import schur, residuals as resid
+from flame_tpu.parallel import distributed_ba
+from flame_tpu.params import BAParams
+from flame_tpu.geometry import camera
+
+rng2 = np.random.default_rng(5)
+Pn, Ln, M = 4, 12, 64
+K = camera.make_k(100.0, 100.0, 64.0, 48.0)
+Kinv = camera.inv_k(K)
+qs = np.tile(np.array([1.0, 0, 0, 0], np.float32), (Pn, 1))
+ts = np.stack([np.array([0.3 * i, 0, 0], np.float32) for i in range(Pn)])
+lm = rng2.uniform(0.15, 0.3, Ln).astype(np.float32)
+a_idx = rng2.integers(0, Pn - 1, M).astype(np.int32)
+o_idx = (a_idx + 1).astype(np.int32)
+l_idx = rng2.integers(0, Ln, M).astype(np.int32)
+u_ref = rng2.uniform(20, 100, (M, 2)).astype(np.float32)
+# Observations = projections with mild noise.
+import jax.numpy as jnp2
+from flame_tpu.geometry import epipolar as epi
+u_obs = np.zeros((M, 2), np.float32)
+for m in range(M):
+    from flame_tpu.geometry import se3 as se3m
+    geo = epi.load_relative(jnp2.asarray(K), jnp2.asarray(Kinv),
+                            (jnp2.asarray(qs[a_idx[m]]), jnp2.asarray(ts[a_idx[m]])),
+                            (jnp2.asarray(qs[o_idx[m]]), jnp2.asarray(ts[o_idx[m]])))
+    uo, _ = epi.project_idepth(geo, jnp2.asarray(u_ref[m]), jnp2.asarray(lm[l_idx[m]]))
+    u_obs[m] = np.asarray(uo) + rng2.normal(0, 0.3, 2)
+obs = resid.BAObservations(
+    anchor_idx=jnp2.asarray(a_idx), obs_idx=jnp2.asarray(o_idx),
+    lm_idx=jnp2.asarray(l_idx), u_ref=jnp2.asarray(u_ref),
+    u_obs=jnp2.asarray(u_obs), valid=jnp2.ones((M,), bool))
+prob = schur.BAProblem(q=jnp2.asarray(qs), t=jnp2.asarray(ts),
+                       lm_idepth=jnp2.asarray(lm),
+                       lm_valid=jnp2.ones((Ln,), bool), obs=obs)
+bp = BAParams(n_gn_iters=3)
+q_s, t_s, lm_s, cost_s = distributed_ba.solve_window_sharded(
+    bp, jnp2.asarray(K), jnp2.asarray(Kinv), prob, mesh, n_fixed=2)
+q_l, t_l, lm_l, cost_l = schur.solve_window(
+    bp, jnp2.asarray(K), jnp2.asarray(Kinv), prob, n_fixed=2)
+t_s_local = np.asarray([s.data for s in t_s.addressable_shards][0])
+np.testing.assert_allclose(t_s_local, np.asarray(t_l), atol=1e-4)
+assert abs(float(cost_s) - float(cost_l)) < 1e-2 * max(float(cost_l), 1.0)
+print(f"proc {jax.process_index()} BA-sharded OK", flush=True)
+
 print(f"proc {jax.process_index()} OK", flush=True)
 """
 
