@@ -58,7 +58,7 @@ class _AsyncFetch:
     is consumed a full frame after the transfer completes.
     """
 
-    __slots__ = ("_dev", "_np", "_thread", "_post", "_extra",
+    __slots__ = ("_dev", "_np", "_thread", "_post", "_extra", "_exc",
                  "t_start", "t_done")
 
     def __init__(self, dev_arr, post=None):
@@ -73,15 +73,19 @@ class _AsyncFetch:
         self._np = None
         self._post = post
         self._extra = None
+        self._exc = None
         self.t_start = time.perf_counter()
         self.t_done = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
-        self._np = np.asarray(self._dev)
-        if self._post is not None:
-            self._extra = self._post(self._np)
+        try:
+            self._np = np.asarray(self._dev)
+            if self._post is not None:
+                self._extra = self._post(self._np)
+        except BaseException as e:  # re-raised on the main thread
+            self._exc = e
         self.t_done = time.perf_counter()
 
     def ready(self) -> bool:
@@ -89,10 +93,16 @@ class _AsyncFetch:
 
     def get(self) -> np.ndarray:
         self._thread.join()
+        if self._exc is not None:
+            # Surface the real device/transfer error instead of handing
+            # the caller a None it will trip over later.
+            raise self._exc
         return self._np
 
     def get_extra(self):
         self._thread.join()
+        if self._exc is not None:
+            raise self._exc
         return self._extra
 
 
@@ -101,22 +111,31 @@ class _AsyncWork:
     RCM overlap with device compute, like the reference's triangulation
     inside syncGraph overlapping the free-running graph thread)."""
 
-    __slots__ = ("_fn", "_result", "_thread")
+    __slots__ = ("_fn", "_result", "_thread", "_exc")
 
     def __init__(self, fn):
         self._fn = fn
         self._result = None
+        self._exc = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
-        self._result = self._fn()
+        try:
+            self._result = self._fn()
+        except BaseException as e:  # re-raised on the main thread
+            self._exc = e
 
     def ready(self) -> bool:
         return not self._thread.is_alive()
 
     def get(self):
         self._thread.join()
+        if self._exc is not None:
+            # e.g. a degenerate (collinear) member set raising inside
+            # Delaunay: fail loudly instead of silently freezing the
+            # topology behind a None result.
+            raise self._exc
         return self._result
 
 
@@ -275,6 +294,16 @@ class Flame:
             # Buffer until frame_batch frames are pending, then dispatch
             # them as one fused device step (+frame_batch-1 frames of
             # output latency, 1/frame_batch the dispatches/transfers).
+            if is_poseframe and p.auto_poseframe:
+                # Later buffered frames must compare against THIS pose
+                # (slot bookkeeping stays deferred to dispatch): without
+                # it every frame of the batch can trip the disparity
+                # threshold against the stale poseframe and produce
+                # back-to-back poseframes sequential processing would
+                # not declare.
+                self._curr_pf_pose_np = (
+                    q_np if q_np is not None else np.asarray(q, np.float64),
+                    t_np if t_np is not None else np.asarray(t, np.float64))
             self._batch_pending.append((time, frame_id, q, t, img,
                                         bool(is_poseframe), q_np, t_np))
             if len(self._batch_pending) < int(self.params.solver.frame_batch):
@@ -379,6 +408,7 @@ class Flame:
             self._curr = curr
             self._last_track_obs = track_obs
             self._last_stats_dev = stat_vec  # fetched by failure_stats()
+            self._last_dispatch_frames = 1
             self.stats.tock("update_idepths")
         else:
             # Cold path (bootstrap / early frames): separate dispatches.
@@ -439,6 +469,7 @@ class Flame:
             self._curr = curr
             self._last_track_obs = track_obs
             self._last_stats_dev = stat_vec
+            self._last_dispatch_frames = 1
             self.stats.tock("update_idepths")
 
         # Async pipelining: consume packed transfers staged on earlier
@@ -448,41 +479,16 @@ class Flame:
         # same transfer and drain here too (the reference's detection
         # thread likewise delivers a frame late, flame.cc:737-757).
         if p.solver.async_topology:
-            # Consume every transfer that has already landed; block only
-            # when the head transfer has gone too stale (backstop).
-            # Backpressure: block for the head transfer once it is
-            # topology_lag * fetch_stride frames old. This rate-limits the
-            # host to device throughput — without it the device backlog
-            # balloons until every fetch rides behind several frames of
-            # queued compute (measured 220 ms latency and 3x fps loss at
-            # a staleness bound of 5), classic bufferbloat. The join waits
-            # for the TRANSFER only; Delaunay + RCM run in a second async
-            # stage (_consume_packed) so their ~8 ms never sit inside the
-            # blocking path.
-            join_age = int(p.solver.join_age) or (
-                max(int(p.solver.topology_lag), 1)
-                * max(int(p.solver.fetch_stride), 1))
-            too_stale = bool(self._packed_queue) and (
-                self.num_imgs - self._packed_queue[0][1] >= join_age)
-            joined_any = False
-            det = bool(p.solver.deterministic)
-            while self._packed_queue and (
-                    det or self._packed_queue[0][0].ready()
-                    or (too_stale and not joined_any)):
-                pk, pk_frame = self._packed_queue.popleft()
-                self.stats.tick("fetch_packed")
-                self.stats.ema("fetch_ready_frac",
-                               1.0 if pk.ready() else 0.0, alpha=0.2)
-                pk_np = pk.get()
-                joined_any = True
-                self.stats.tock("fetch_packed")
-                if pk.t_done is not None:
-                    self.stats.ema(
-                        "fetch_latency_ms",
-                        1e3 * (pk.t_done - pk.t_start), alpha=0.2)
-                if not self._consume_packed(pk_np, pk_frame):
-                    self.stats.tock("update")
-                    return False
+            # Consume transfers that have landed; the helper's blocking
+            # backstop (join at head age join_age) is the pipeline's only
+            # flow control — without it the device backlog balloons
+            # (measured 220 ms fetch latency, 3x fps loss; bufferbloat).
+            # The join waits for the TRANSFER only; Delaunay + RCM run in
+            # a second async stage (_consume_packed) so their ~8 ms never
+            # sit inside the blocking path.
+            if not self._drain_packed_queue():
+                self.stats.tock("update")
+                return False
 
         if self._n_valid == 0:
             self.stats.tock("update")
@@ -502,7 +508,9 @@ class Flame:
                                            self.num_imgs))
             # Adopt a finished triangulation (forced when nothing is
             # staged yet — bootstrap — so the first mesh appears asap).
-            self._adopt_tri_result(force=det or self._staged_tris is None)
+            self._adopt_tri_result(
+                force=bool(p.solver.deterministic)
+                or self._staged_tris is None)
             if self._staged_tris is not None:
                 self.stats.tick("sync_graph")
                 (buf_dev, n_tris, tris_np, edges_np,
@@ -686,6 +694,7 @@ class Flame:
         self._feats = feats
         self._curr = curr
         self._last_stats_dev = stat_vec
+        self._last_dispatch_frames = B
         self._last_track_obs = jax.tree.map(lambda a: a[-1], obs_b)
         self._graph = graph
         self._vtx_idepths = vtx_idepths
@@ -703,36 +712,16 @@ class Flame:
 
         # Async fetch pipeline — same flow control as the single path
         # (join age in frames, stride in dispatches).
-        join_age = int(p.solver.join_age) or (
-            max(int(p.solver.topology_lag), 1)
-            * max(int(p.solver.fetch_stride), 1))
-        too_stale = bool(self._packed_queue) and (
-            self.num_imgs - self._packed_queue[0][1] >= join_age)
-        joined_any = False
-        det = bool(p.solver.deterministic)
-        while self._packed_queue and (
-                det or self._packed_queue[0][0].ready()
-                or (too_stale and not joined_any)):
-            pk, pk_frame = self._packed_queue.popleft()
-            self.stats.tick("fetch_packed")
-            self.stats.ema("fetch_ready_frac",
-                           1.0 if pk.ready() else 0.0, alpha=0.2)
-            pk_np = pk.get()
-            joined_any = True
-            self.stats.tock("fetch_packed")
-            if pk.t_done is not None:
-                self.stats.ema("fetch_latency_ms",
-                               1e3 * (pk.t_done - pk.t_start), alpha=0.2)
-            if not self._consume_packed(pk_np, pk_frame):
-                self.stats.tock("update")
-                return False
+        if not self._drain_packed_queue():
+            self.stats.tock("update")
+            return False
 
         stride = max(int(p.solver.fetch_stride), 1)
         if self._dispatches % stride == 0 and \
                 len(self._packed_queue) < max(int(p.solver.topology_lag), 1):
             self._packed_queue.append((_AsyncFetch(packed_dev),
                                        self.num_imgs))
-        self._adopt_tri_result(force=det)
+        self._adopt_tri_result(force=bool(p.solver.deterministic))
 
         if self._ba is not None and any(pf_flags):
             self.stats.tick("ba")
@@ -768,6 +757,37 @@ class Flame:
     # ------------------------------------------------------------------
     # Host helpers.
     # ------------------------------------------------------------------
+
+    def _drain_packed_queue(self) -> bool:
+        """Consume every packed transfer that has landed (all of them in
+        deterministic mode); block only for a too-stale head — the
+        pipeline's sole flow control (bufferbloat backstop). Returns
+        False when a consumed transfer cleared the instance. ONE
+        definition for both dispatch modes."""
+        p = self.params
+        join_age = int(p.solver.join_age) or (
+            max(int(p.solver.topology_lag), 1)
+            * max(int(p.solver.fetch_stride), 1))
+        too_stale = bool(self._packed_queue) and (
+            self.num_imgs - self._packed_queue[0][1] >= join_age)
+        joined_any = False
+        det = bool(p.solver.deterministic)
+        while self._packed_queue and (
+                det or self._packed_queue[0][0].ready()
+                or (too_stale and not joined_any)):
+            pk, pk_frame = self._packed_queue.popleft()
+            self.stats.tick("fetch_packed")
+            self.stats.ema("fetch_ready_frac",
+                           1.0 if pk.ready() else 0.0, alpha=0.2)
+            pk_np = pk.get()
+            joined_any = True
+            self.stats.tock("fetch_packed")
+            if pk.t_done is not None:
+                self.stats.ema("fetch_latency_ms",
+                               1e3 * (pk.t_done - pk.t_start), alpha=0.2)
+            if not self._consume_packed(pk_np, pk_frame):
+                return False
+        return True
 
     def _prepare_upload(self, img):
         """Stage this frame's host->device transfer. Returns the device
@@ -832,7 +852,16 @@ class Flame:
             return None
         xy = pk[member_slots, :2].astype(np.float32) \
             * (1.0 / pipeline.PACK_XY_SCALE)
-        tri = delaunay.triangulate(xy)
+        try:
+            tri = delaunay.triangulate(xy)
+        except Exception:
+            # Degenerate member geometry (e.g. all collinear): skip this
+            # round's topology update — counted, not silent, not fatal
+            # (the async worker re-raises real errors; this one has a
+            # well-defined recovery: keep smoothing the old topology).
+            self.stats.add("triangulate_degenerate", 1)
+            self.stats.tock("triangulate")
+            return None
 
         tris_slots = member_slots[tri.triangles]
         T_cap = p.triangle_capacity
@@ -1047,6 +1076,10 @@ class Flame:
             self._pending_topo = tri_result
             return
         self._fill_carry(buf, edges_sorted, n_edges)
+        # This NEWER triangulation supersedes any older batch-stashed one
+        # (a mode transition could otherwise re-apply the stale pending
+        # topology over this one when batching re-engages).
+        self._pending_topo = None
         self._last_topo_host = buf
         self._topo_dev = None
         self.stats.tick("topo_upload")
@@ -1062,12 +1095,20 @@ class Flame:
         """Dispatch the fused topology+sync+smooth+mesh step. topo_buf is
         the single packed u16 topology upload (see _host_triangulate)."""
         p = self.params
+        # Project graph idepths from the pose of the frame whose PIXEL
+        # COORDINATES the graph currently holds — the last frame a sync
+        # ran for. That is the previous frame only when no frame skipped
+        # post-Delaunay in between (bootstrap, batch->single fallback);
+        # _last_sync_pose tracks it exactly.
         fprev = self._fprev if self._fprev is not None else self._fnew
+        sync_pose = (self._last_sync_pose
+                     if self._last_sync_pose is not None
+                     else (fprev.q, fprev.t))
         (self._graph, self._vtx_idepths, self._vtx_normals,
          self._tri_validity, self._idepthmap,
          self._graph_scale_dev, self._coverage) = pipeline.post_delaunay_step(
             p, self.K, self.Kinv, self._graph, member, curr,
-            (fprev.q, fprev.t), (self._fnew.q, self._fnew.t),
+            sync_pose, (self._fnew.q, self._fnew.t),
             self._graph_scale_dev, self.width, self.height,
             self._idepthmap if p.init_with_prediction else None,
             topo_buf=topo_buf, topo_offset=self._staged_offset,
@@ -1219,6 +1260,16 @@ class Flame:
             var=jnp.zeros(p.feature_capacity),
             valid=jnp.zeros(p.feature_capacity, bool))
         self._tri_mask = jnp.zeros_like(self._tri_mask)
+        self._tri_validity = jnp.zeros_like(self._tri_validity)
+        self._vtx_idepths = jnp.zeros_like(self._vtx_idepths)
+        self._vtx_normals = jnp.zeros_like(self._vtx_normals)
+        self._idepthmap = jnp.full((self.height, self.width), jnp.nan,
+                                   jnp.float32)
+        self._coverage = None
+        self._n_members = 0
+        self._n_tris = 0
+        self._n_edges = 0
+        self._tris_np = np.zeros((0, 3), np.int64)
         self._tris_staged = None
         self._staged_tris = None
         self._tri_pending = None
@@ -1394,10 +1445,15 @@ class Flame:
         return img
 
     def failure_stats(self) -> Dict[str, int]:
+        """Failure counters of the LAST DEVICE DISPATCH: one frame on the
+        per-frame path, frame_batch frames summed under batching (the
+        'frames_counted' key says which — normalize by it when comparing
+        across dispatch modes)."""
         self._flush_batch()
         s = np.asarray(self._last_stats_dev)
         self.stats.set("num_idepth_updates", int(s[pipeline.STAT_UPDATES]))
         return {
+            "frames_counted": int(getattr(self, "_last_dispatch_frames", 1)),
             "updates": int(s[pipeline.STAT_UPDATES]),
             "fail_max_var": int(s[pipeline.STAT_FAIL_MAX_VAR]),
             "fail_max_dropouts": int(s[pipeline.STAT_FAIL_MAX_DROPOUTS]),

@@ -256,7 +256,10 @@ def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
     ratio_c = jnp.where(feats2.idepth_mu > 0,
                         id_cur / jnp.where(feats2.idepth_mu > 0,
                                            feats2.idepth_mu, 1.0), 1.0)
-    vf4_c = jnp.where(feats2.idepth_mu < 1e-6, 1.0, ratio_c ** 4)
+    # Guard on the PROJECTED idepth (like the move path above and
+    # reanchor_features): a near-zero id_cur would otherwise give
+    # vf4 ~ 0 and a spuriously certain var_cur ~ 0.
+    vf4_c = jnp.where(id_cur < 1e-6, 1.0, ratio_c ** 4)
     var_cur = vf4_c * feats2.idepth_var
 
     final_valid = feats2.valid & proj_ok
@@ -272,7 +275,13 @@ def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
     rx = Kinv[0, 0] * feats3.xy[:, 0] + Kinv[0, 2]
     ry = Kinv[1, 1] * feats3.xy[:, 1] + Kinv[1, 2]
     ray = jnp.stack([rx, ry, jnp.ones_like(rx)], axis=-1)
-    depth = 1.0 / jnp.where(feats3.idepth_mu > 0, feats3.idepth_mu, jnp.inf)
+    # idepth <= 0 maps to INFINITE depth (gate fails: the world point is
+    # beyond any height bound); 1/where(mu>0, mu, inf) would instead put
+    # it at the camera center, which normal flying heights ACCEPT.
+    depth = jnp.where(feats3.idepth_mu > 0,
+                      1.0 / jnp.where(feats3.idepth_mu > 0,
+                                      feats3.idepth_mu, 1.0),
+                      jnp.inf)
     p_world = se3.quat_rotate(qf, ray * depth[:, None]) + tf
     height_ok = ((-p_world[:, 1] >= params.min_height)
                  & (-p_world[:, 1] <= params.max_height))
