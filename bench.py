@@ -93,7 +93,14 @@ def main():
             # frames (the same frame cadence the r1 sweep picked).
             frame_batch=int(os.environ.get("BENCH_BATCH", 4)),
             fetch_stride=int(os.environ.get("BENCH_STRIDE", 1)),
-            join_age=int(os.environ.get("BENCH_JOINAGE", 4)),
+            # join_age 12 (r3): the blocking head-join is the only
+            # stall in bad link weather; at batch=4 a join_age of one
+            # batch forces a ~fetch-latency block EVERY batch, while 12
+            # amortizes it over 3 batches. Measured same-phase A/B:
+            # 31->65 and 55->63 fps in bad weather, quality unchanged
+            # (topology staleness stays masked-inert); good weather
+            # unaffected (joins only block when the fetch isn't ready).
+            join_age=int(os.environ.get("BENCH_JOINAGE", 12)),
             smoother=os.environ.get("BENCH_SMOOTHER", "auto"),
             n_iters_per_frame=int(os.environ.get("BENCH_ITERS", 40))),
         debug_quiet=True)
