@@ -77,11 +77,6 @@ def main():
             async_topology=True,
             # Experiment knobs (default production values).
             topology_lag=int(os.environ.get("BENCH_LAG", 2)),
-            # Swept on-device (NOTES.md): stride 3 + join 4 reads the
-            # packed transfer every 3rd dispatch and bounds the head join
-            # at 4 frames — best of the r1 sweep, with unchanged
-            # coverage/error (topology staleness is masked inert and
-            # detection inserts on device).
             # Four frames per device dispatch (pipeline.batch_step): ONE
             # upload + ONE jit per batch divides the per-frame
             # RPC/transfer cost that dominates through the tunneled
