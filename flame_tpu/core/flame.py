@@ -854,6 +854,12 @@ class Flame:
             * (1.0 / pipeline.PACK_XY_SCALE)
         try:
             tri = delaunay.triangulate(xy)
+            if tri.triangles.shape[0] == 0:
+                # Exactly-collinear member set: the native backend
+                # returns ZERO triangles (it drops degenerate slivers)
+                # rather than raising — same recovery as the raise path
+                # below, or an empty topology would wipe the mesh.
+                raise ValueError("degenerate (collinear) member set")
         except Exception:
             # Degenerate member geometry (e.g. all collinear): skip this
             # round's topology update — counted, not silent, not fatal

@@ -35,12 +35,22 @@ class Triangulation(NamedTuple):
 
 
 def _build_native() -> bool:
+    # Compile to a private temp path and rename atomically: two processes
+    # rebuilding concurrently (pytest workers + bench) must never dlopen a
+    # half-written .so.
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp,
+             _SRC],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -97,8 +107,14 @@ def _triangulate_native(points: np.ndarray) -> Optional[Triangulation]:
     if rc != 0:
         return None
     T, E = n_tri.value, n_edge.value
+    # Canonicalize edges to sorted (lo, hi) rows lexicographically, the
+    # SAME format the scipy fallback returns — consumers must not see a
+    # different edge layout depending on which backend silently won.
+    e = np.sort(edge_out[:E], axis=1)
+    if E:
+        e = e[np.lexsort((e[:, 1], e[:, 0]))]
     return Triangulation(triangles=tri_out[:T].copy(),
-                         edges=edge_out[:E].copy(),
+                         edges=np.ascontiguousarray(e),
                          neighbors=neigh_out[:T].copy())
 
 
@@ -117,6 +133,16 @@ def _triangulate_scipy(points: np.ndarray) -> Triangulation:
     # Swapping v1<->v2 also swaps neighbor slots 1<->2.
     tris[flip] = tris[flip][:, [0, 2, 1]]
     neigh[flip] = neigh[flip][:, [0, 2, 1]]
+    # Drop zero-area slivers (QJ joggling triangulates exactly-collinear
+    # runs into degenerate triangles the native backend never emits;
+    # the docstring contract is positive signed area). Remap neighbors.
+    keep = area2 != 0
+    if not keep.all():
+        remap = np.full(tris.shape[0], -1, np.int32)
+        remap[keep] = np.arange(int(keep.sum()), dtype=np.int32)
+        tris = tris[keep]
+        neigh = neigh[keep]
+        neigh = np.where(neigh >= 0, remap[np.maximum(neigh, 0)], -1)
 
     edges = set()
     for t in tris:

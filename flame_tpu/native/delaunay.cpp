@@ -25,6 +25,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -196,16 +197,21 @@ int locate(const Ctx& c, int start, int p, int max_steps) {
       int b = tri.v[(e + 2) % 3];
       if (orient2d(c, a, b, p) < 0) {
         int nb = tri.n[e];
-        if (nb < 0) return t;  // outside hull walk stopped (shouldn't happen
-                               // with a super-triangle)
+        if (nb < 0) return -1;  // walked off the hull: with a
+                                // super-triangle this means the
+                                // predicates are inconsistent — fail
+                                // loudly (caller falls back) rather
+                                // than dig a cavity around a triangle
+                                // that does not contain p
         t = nb;
         moved = true;
         break;
       }
     }
-    if (!moved) return t;
+    if (!moved) return t;  // containment verified (all orients >= 0)
   }
-  return t;  // give up; caller's cavity search still self-corrects mostly
+  return -1;  // walk did not terminate: signal failure, never hand the
+              // caller an arbitrary triangle to corrupt the cavity with
 }
 
 // Deterministic pseudo-random permutation (xorshift), reproducible builds.
@@ -295,6 +301,10 @@ int delaunay_triangulate(const float* pts, int n,
   for (int oi = 0; oi < n; ++oi) {
     int p = order[oi];
     int t0 = locate(c, c.last_alive, p, 4 * (int)c.tris.size() + 64);
+    if (t0 < 0) return 2;  // point location failed (inconsistent
+                           // predicates / non-terminating walk): report
+                           // instead of corrupting the triangulation —
+                           // the Python wrapper falls back to scipy
 
     // Grow cavity: BFS over neighbors whose circumcircle contains p.
     cavity.clear();
@@ -371,20 +381,24 @@ int delaunay_triangulate(const float* pts, int n,
     }
     // Link the new fan triangles to each other: triangle k has edges
     // (p, a) and (p, b); neighbor across (p, b) is the triangle whose a ==
-    // this b, etc. Build a small map from boundary vertex -> triangle.
-    for (int k = 0; k < m; ++k) {
-      const BEdge& bk = bfinal[k];
-      for (int l = 0; l < m; ++l) {
-        if (l == k) continue;
-        const BEdge& bl = bfinal[l];
-        if (bl.a == bk.b) {  // shares edge (p, bk.b)
-          c.tris[first_new + k].n[1] = first_new + l;  // opposite v[1]=a is
-                                                       // edge (p, b)... see
-                                                       // below
-        }
-        if (bl.b == bk.a) {  // shares edge (p, bk.a)
-          c.tris[first_new + k].n[2] = first_new + l;
-        }
+    // this b, etc. A small map from boundary START vertex -> triangle
+    // makes this O(m) (the all-pairs scan was O(m^2) per insertion).
+    {
+      std::unordered_map<int, int> by_a, by_b;
+      by_a.reserve(2 * m);
+      by_b.reserve(2 * m);
+      for (int k = 0; k < m; ++k) {
+        by_a[bfinal[k].a] = k;
+        by_b[bfinal[k].b] = k;
+      }
+      for (int k = 0; k < m; ++k) {
+        const BEdge& bk = bfinal[k];
+        auto it = by_a.find(bk.b);  // triangle sharing edge (p, bk.b)
+        if (it != by_a.end() && it->second != k)
+          c.tris[first_new + k].n[1] = first_new + it->second;
+        auto jt = by_b.find(bk.a);  // triangle sharing edge (p, bk.a)
+        if (jt != by_b.end() && jt->second != k)
+          c.tris[first_new + k].n[2] = first_new + jt->second;
       }
     }
     c.last_alive = first_new;
@@ -416,7 +430,6 @@ int delaunay_triangulate(const float* pts, int n,
     remap[t] = ntri++;
   }
 
-  int k = 0;
   for (size_t t = 0; t < c.tris.size(); ++t) {
     if (remap[t] < 0) continue;
     const Tri& tri = c.tris[t];
@@ -428,7 +441,6 @@ int delaunay_triangulate(const float* pts, int n,
       neigh_out[3 * remap[t] + e] =
           (nb >= 0 && remap[nb] >= 0) ? remap[nb] : -1;
     }
-    ++k;
   }
   *n_tri_out = ntri;
 

@@ -78,10 +78,20 @@ def _build_incidence_device(lo_e, hi_e, edge_mask, e_cap, v_cap, degree):
     vs = vkey[order]
     firstv = jnp.searchsorted(vs, vs)
     rankv = jnp.arange(2 * e_cap) - firstv
-    keep = (rankv < degree) & (vs < v_cap)
-    islot = jnp.where(keep, vs * degree + rankv, v_cap * degree)
     eo = eids[order]
     so = signs[order]
+    # Degree overflow drops the edge on BOTH sides (consistent with
+    # _build_incidence_from_ranks/perm_edge_ranks): a one-sidedly kept
+    # entry would apply the edge's primal force to one endpoint only,
+    # breaking K/K^T adjointness at hub vertices.
+    entry_ok = (rankv < degree) & (vs < v_cap)
+    ok_src = jnp.zeros((e_cap + 1,), bool).at[
+        jnp.where(so > 0, eo, e_cap)].set(entry_ok, mode="drop")[:e_cap]
+    ok_dst = jnp.zeros((e_cap + 1,), bool).at[
+        jnp.where(so < 0, eo, e_cap)].set(entry_ok, mode="drop")[:e_cap]
+    both_ok = ok_src & ok_dst
+    keep = entry_ok & both_ok[eo]
+    islot = jnp.where(keep, vs * degree + rankv, v_cap * degree)
     inc_edge = jnp.zeros((v_cap * degree + 1,), jnp.int32)
     inc_edge = inc_edge.at[islot].set(eo, mode="drop")
     inc_sign = jnp.zeros((v_cap * degree + 1,), jnp.float32)
@@ -244,7 +254,11 @@ def from_edges(edges_in, n_edges, pos, prev_edges, prev_edge_mask,
     else:
         inc_edge = jnp.zeros((v_cap, degree), jnp.int32)
         inc_sign = jnp.zeros((v_cap, degree), jnp.float32)
-        src_slot = jnp.zeros((e_cap,), jnp.int32)
+        # Sentinel, NOT zero: slot 0 is a real (vertex 0, rank 0) slot;
+        # a consumer that wrongly reads src_slot from an incidence-less
+        # topology must pass duals through untouched, not alias them all
+        # onto slot 0.
+        src_slot = jnp.full((e_cap,), v_cap * degree, jnp.int32)
 
     return Topology(edges=edges, alpha=alpha, edge_mask=edge_mask,
                     q1=q1, q2=q2, q3=q3,
@@ -319,7 +333,11 @@ def from_triangles(tris, n_tris, pos, prev_edges, prev_edge_mask,
     else:
         inc_edge = jnp.zeros((v_cap, degree), jnp.int32)
         inc_sign = jnp.zeros((v_cap, degree), jnp.float32)
-        src_slot = jnp.zeros((e_cap,), jnp.int32)
+        # Sentinel, NOT zero: slot 0 is a real (vertex 0, rank 0) slot;
+        # a consumer that wrongly reads src_slot from an incidence-less
+        # topology must pass duals through untouched, not alias them all
+        # onto slot 0.
+        src_slot = jnp.full((e_cap,), v_cap * degree, jnp.int32)
 
     return Topology(edges=edges, alpha=alpha, edge_mask=edge_mask,
                     q1=q1, q2=q2, q3=q3,

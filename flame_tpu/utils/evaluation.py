@@ -59,14 +59,19 @@ def depth_error_stats(est_idepth: np.ndarray, gt_idepth: np.ndarray
     no estimate)."""
     est = np.asarray(est_idepth, np.float64)
     gt = np.asarray(gt_idepth, np.float64)
-    ok = np.isfinite(est) & np.isfinite(gt) & (gt > 0)
+    gt_ok = np.isfinite(gt) & (gt > 0)
+    ok = np.isfinite(est) & gt_ok
     if not ok.any():
         return {"coverage": 0.0, "mae": np.inf, "rmse": np.inf,
                 "median_rel": np.inf, "mean_rel": np.inf}
     e = est[ok] - gt[ok]
     rel = np.abs(e) / gt[ok]
     return {
-        "coverage": float(ok.mean()),
+        # Fraction of VALID-ground-truth pixels the estimator covered:
+        # dividing by all pixels would conflate GT sensor holes with
+        # estimator coverage and make cross-sequence numbers track the
+        # hole rate instead of the estimator.
+        "coverage": float(ok.sum() / gt_ok.sum()),
         "mae": float(np.abs(e).mean()),
         "rmse": float(np.sqrt((e ** 2).mean())),
         "median_rel": float(np.median(rel)),
