@@ -110,6 +110,58 @@ def set_idepthmap(stack: FrameStack, slot, idepthmap) -> FrameStack:
     return stack._replace(idepthmap=stack.idepthmap.at[slot].set(idepthmap))
 
 
+def _masked_row_update(arr, slot, new_row, on):
+    """Write new_row into arr[slot] when `on`, else write back the old
+    row — an UNCONDITIONAL one-row dynamic-update-slice. Inside a
+    lax.scan body this replaces lax.cond(on, insert, identity): XLA
+    cannot alias a cond's carry operands across branches, so the cond
+    form copied the full 20 MB poseframe stack every scan iteration
+    (~1.3 ms/frame of pure HBM traffic in the r4 device profile); the
+    masked DUS updates the carry buffer in place, and the no-op branch
+    costs one row of read+write (~10 us)."""
+    old = jax.lax.dynamic_slice_in_dim(arr, slot, 1, 0)
+    row = jnp.where(on, new_row[None].astype(arr.dtype), old)
+    return jax.lax.dynamic_update_slice_in_dim(arr, row, slot, 0)
+
+
+@jax.jit
+def insert_masked(stack: FrameStack, slot, frame: Frame, on) -> FrameStack:
+    """insert() that becomes a no-op when `on` is False (traced bool) —
+    the scan-body form of the poseframe insert (see _masked_row_update)."""
+    slot = jnp.asarray(slot, jnp.int32)
+    H, W = stack.gradx.shape[1:]
+    return stack._replace(
+        frame_id=stack.frame_id.at[slot].set(
+            jnp.where(on, frame.frame_id, stack.frame_id[slot])),
+        q=stack.q.at[slot].set(jnp.where(on, frame.q, stack.q[slot])),
+        t=stack.t.at[slot].set(jnp.where(on, frame.t, stack.t[slot])),
+        img_pad=_masked_row_update(stack.img_pad, slot, frame.img_pad, on),
+        gradx=_masked_row_update(stack.gradx, slot, frame.gradx, on),
+        grady=_masked_row_update(stack.grady, slot, frame.grady, on),
+        idepthmap=_masked_row_update(
+            stack.idepthmap, slot, jnp.full((H, W), jnp.nan), on),
+        valid=stack.valid.at[slot].set(
+            jnp.where(on, True, stack.valid[slot])))
+
+
+@jax.jit
+def set_idepthmap_masked(stack: FrameStack, slot, idepthmap,
+                         on) -> FrameStack:
+    """set_idepthmap() that no-ops when `on` is False (see
+    _masked_row_update for why this form inside scan bodies)."""
+    slot = jnp.asarray(slot, jnp.int32)
+    return stack._replace(
+        idepthmap=_masked_row_update(stack.idepthmap, slot, idepthmap, on))
+
+
+@jax.jit
+def set_poses(stack: FrameStack, slots, qs, ts) -> FrameStack:
+    """Batch pose write-back (BA window application): ONE dispatch for
+    all refined poses instead of one set_pose per frame."""
+    return stack._replace(q=stack.q.at[slots].set(qs),
+                          t=stack.t.at[slots].set(ts))
+
+
 @jax.jit
 def set_pose(stack: FrameStack, slot, q, t) -> FrameStack:
     """Update one poseframe pose (the updatePoseFramePoses hook,

@@ -869,9 +869,9 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
         topo_offset = B * hw
 
     # Decode the batch's triangle set up front: the per-frame dense
-    # rasterization inside the scan draws the same triangles the
-    # post-Delaunay section will apply (the duplicate decode is CSE'd —
-    # batch_step is one jit).
+    # rasterization below draws the same triangles the post-Delaunay
+    # section will apply (the duplicate decode is CSE'd — batch_step is
+    # one jit).
     T = params.triangle_capacity
     tb = buf
     if tb.dtype == jnp.uint8:
@@ -884,18 +884,26 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
     sync_q32 = sync_prev_q.astype(jnp.float32)
     sync_t32 = sync_prev_t.astype(jnp.float32)
 
-    def dense_for(q, t):
-        """Per-frame dense idepthmap (reference flame.cc:409-415
-        rasterizes inside EVERY update): project the batch-start mesh
-        (vertex pixels live in the sync frame — the previous batch's last
-        frame) into this frame's view and rasterize. Smoothing staleness
-        is at most one batch; geometry is current."""
+    # Per-frame dense idepthmaps (reference flame.cc:409-415 rasterizes
+    # inside EVERY update): project the batch-start mesh (vertex pixels
+    # live in the sync frame — the previous batch's last frame) into
+    # each frame's view and rasterize ALL B maps up front with ONE
+    # shared binning pass (rasterize_batch_auto; the per-view binning
+    # top_k was ~1.4 ms/frame of the r4 device profile). Smoothing
+    # staleness is at most one batch; geometry is current per frame.
+    def project_view(q, t):
         geo = epipolar.load_relative(K, Kinv, (sync_q32, sync_t32), (q, t))
         pos_b, id_b = epipolar.project_idepth(geo, graph.pos, vtx_x_pre)
         ok = graph.vtx_mask & (id_b > 0)
-        tri_ok = tri_in_pre & jnp.all(ok[tris_pre], axis=1)
-        return raster.rasterize_auto(pos_b, tris_pre, id_b, tri_ok,
-                                     height, width)
+        return pos_b, id_b, ok
+
+    pos_views, id_views, ok_views = jax.vmap(project_view)(qs, ts)
+    tri_ok_views = tri_in_pre[None] & jnp.all(ok_views[:, tris_pre], axis=2)
+    dense_views = raster.rasterize_batch_auto(
+        pos_views, tris_pre, id_views, tri_ok_views, height, width)
+    # Frame b's detection seeds from frame b-1's map (frame 0 from the
+    # previous batch's output map), exactly as the sequential path.
+    seed_views = jnp.concatenate([seed_map[None], dense_views[:-1]], axis=0)
 
     # Large per-frame products (Frame pytree, curr, member, dense map)
     # ride the CARRY — only obs (consumed per-frame by BA) and the tiny
@@ -913,12 +921,14 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
     member_init = jnp.zeros((N,), bool)
 
     def body(carry, x):
-        stack, feats, pq, pt, _f, _curr, _member, seed = carry
-        img, fid, q, t, pf, det, slot, id_base = x
+        stack, feats, pq, pt, _f, _curr, _member = carry
+        img, fid, q, t, pf, det, slot, id_base, dense, seed = x
         f = frame_mod.create.__wrapped__(fid, q, t, img, pad)
-        stack = jax.lax.cond(
-            pf, lambda s: frame_mod.insert.__wrapped__(s, slot, f),
-            lambda s: s, stack)
+        # Masked one-row insert, NOT lax.cond(insert): XLA cannot alias
+        # a cond's carry operands across branches, so the cond form
+        # copied the full stack every scan iteration (~1.3 ms/frame of
+        # HBM traffic in the r4 device profile).
+        stack = frame_mod.insert_masked.__wrapped__(stack, slot, f, pf)
         feats, curr, member, stats, obs = _frame_inner(
             params, K, Kinv, stack, feats, f, slot, False, pq, pt,
             id_base, seed)
@@ -928,25 +938,23 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
                                           fs, curr, f, pq, pt, id_base,
                                           seed),
             lambda fs: fs, feats)
-        dense = dense_for(q, t)
         # Stash this frame's OWN map into the stack when it is a
         # poseframe (reference flame.cc:417-428).
-        stack = jax.lax.cond(
-            pf, lambda s: frame_mod.set_idepthmap.__wrapped__(
-                s, slot, dense),
-            lambda s: s, stack)
-        return (stack, feats, q, t, f, curr, member, dense), (obs, stats)
+        stack = frame_mod.set_idepthmap_masked.__wrapped__(
+            stack, slot, dense, pf)
+        return (stack, feats, q, t, f, curr, member), (obs, stats)
 
     xs = (imstack,
           jnp.asarray(fids, jnp.int32), qs, ts,
           jnp.asarray(pf_flags, bool), jnp.asarray(det_flags, bool),
           jnp.asarray(pf_slots, jnp.int32),
-          jnp.asarray(id_bases, jnp.int32))
+          jnp.asarray(id_bases, jnp.int32),
+          dense_views, seed_views)
     init = (stack, feats, prev_q.astype(jnp.float32),
-            prev_t.astype(jnp.float32), f_init, curr_init, member_init,
-            seed_map)
-    (stack, feats, _, _, f_last, curr, member, dense_last), \
+            prev_t.astype(jnp.float32), f_init, curr_init, member_init)
+    (stack, feats, _, _, f_last, curr, member), \
         (obs_b, stats_b) = jax.lax.scan(body, init, xs)
+    dense_last = dense_views[-1]
 
     stats = stats_b.sum(axis=0)
     packed = pack_track_outputs.__wrapped__(feats, curr, member)

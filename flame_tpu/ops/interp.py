@@ -50,9 +50,24 @@ def bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     dx = (x - x0)[..., None]
     dy = (y - y0)[..., None]
 
-    img4 = _pack4(img.reshape(-1).astype(jnp.float32), W)
+    flat = img.reshape(-1).astype(jnp.float32)
     idx00 = y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
-    v = img4[idx00]  # (..., 4) — one row gather
+    if x.size * 8 >= img.size:
+        # Packed-corner rows: one gather with 1/4 the indices. The
+        # (H*W, 4) table build is O(image), so it only pays when the
+        # sample count is within ~an order of the pixel count (the
+        # line-stereo [N, S] sampling).
+        v = _pack4(flat, W)[idx00]  # (..., 4) — one row gather
+    else:
+        # Small query (e.g. one sample per feature, 4096 of 307k
+        # pixels): gather the 4 corners directly. The r4 device profile
+        # measured the table path at ~0.25 ms per call here (the table
+        # build + an XLA layout transpose of the full-image table) vs
+        # ~30 us for the 4N-element gather. Under vmap x.size is the
+        # per-lane size, so vmapped per-feature calls take this path.
+        idx = jnp.stack([idx00, idx00 + 1, idx00 + W, idx00 + W + 1],
+                        axis=-1)
+        v = flat[idx]
     return jnp.sum(v * _weights4(dx, dy), axis=-1)
 
 

@@ -285,6 +285,24 @@ def rasterize_auto(verts: jax.Array, tris: jax.Array, vals: jax.Array,
     return rasterize(verts, tris, vals, tri_valid, height, width, **kwargs)
 
 
+def rasterize_batch_auto(verts: jax.Array, tris: jax.Array,
+                         vals: jax.Array, tri_valid: jax.Array,
+                         height: int, width: int) -> jax.Array:
+    """Rasterize one triangle set from B viewpoints: verts (B, V, 2),
+    vals (B, V), tri_valid (B, T) -> (B, H, W). On TPU the Pallas
+    kernel shares ONE binning pass across the views (the binning top_k
+    was ~1.4 ms/frame of the r4 device profile when run per view);
+    elsewhere a vmap over the XLA tile-binned rasterizer."""
+    import jax as _jax
+    if _jax.default_backend() == "tpu":
+        from flame_tpu.ops import pallas_raster
+        return pallas_raster.rasterize_batch(verts, tris, vals, tri_valid,
+                                             height, width)
+    return _jax.vmap(
+        lambda v, x, tv: rasterize(v, tris, x, tv, height, width))(
+            verts, vals, tri_valid)
+
+
 def interpolate_mesh(verts: jax.Array, tris: jax.Array, vals: jax.Array,
                      tri_valid: jax.Array, vtx_valid: jax.Array,
                      height: int, width: int, **kwargs) -> jax.Array:

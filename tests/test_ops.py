@@ -303,3 +303,38 @@ def test_pallas_rasterizer_matches_bruteforce(rng):
     assert (np.isnan(ref) == np.isnan(out)).all()
     m = ~np.isnan(ref)
     np.testing.assert_allclose(out[m], ref[m], atol=1e-5)
+
+
+def test_pallas_rasterize_batch_matches_per_view(rng):
+    """rasterize_batch (shared union-bbox binning, interpret mode) must
+    reproduce per-view rasterize_bruteforce exactly: shifted viewpoints
+    of one triangle set, per-view values and validity."""
+    from scipy.spatial import Delaunay as SDelaunay
+    from flame_tpu.ops import pallas_raster
+
+    H, W = 120, 160
+    pts = rng.uniform([4, 4], [140, 100], (150, 2)).astype(np.float32)
+    sd = SDelaunay(pts)
+    T = 512
+    tris = np.zeros((T, 3), np.int32)
+    tris[:sd.simplices.shape[0]] = sd.simplices
+    B = 3
+    # Per-view positions: translated + slightly scaled (projection-style
+    # motion); per-view values and validity differ too.
+    verts_b = np.stack([pts * (1.0 + 0.01 * b) + np.array([3.0 * b, -2.0 * b])
+                        for b in range(B)]).astype(np.float32)
+    vals_b = rng.uniform(0.5, 2.0, (B, 150)).astype(np.float32)
+    tm_b = np.zeros((B, T), bool)
+    tm_b[:, :sd.simplices.shape[0]] = True
+    tm_b[1, :10] = False  # view-specific invalidation
+
+    out = np.asarray(pallas_raster.rasterize_batch(
+        jnp.asarray(verts_b), jnp.asarray(tris), jnp.asarray(vals_b),
+        jnp.asarray(tm_b), H, W, max_per_tile=512, interpret=True))
+    for b in range(B):
+        ref = np.asarray(rasterize.rasterize_bruteforce(
+            jnp.asarray(verts_b[b]), jnp.asarray(tris),
+            jnp.asarray(vals_b[b]), jnp.asarray(tm_b[b]), H, W))
+        assert (np.isnan(ref) == np.isnan(out[b])).all(), b
+        m = ~np.isnan(ref)
+        np.testing.assert_allclose(out[b][m], ref[m], atol=1e-5)
