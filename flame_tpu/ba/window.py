@@ -8,16 +8,63 @@ one landmark and blow up the solve), assembles fixed-shape BAProblem
 windows, and applies refined poses/idepths back into the pipeline through
 the same contract the reference exposes to an external estimator
 (updatePoseFramePoses + feature idepth rewrite; flame.h:155-174).
+
+Deployment posture (r4): the BA layer is FULLY ASYNCHRONOUS and issues
+no blocking device reads. Observations + the per-feature/pose snapshot
+ride the pipeline's existing packed transfer (pipeline.pack_ba_outputs —
+ONE widened device->host fetch instead of the ~10 blocking np.asarray
+calls per poseframe that cost >200 ms each through a tunneled device,
+VERDICT r3 #3). A solve uploads its whole problem as ONE coalesced i32
+buffer (the tunnel charges per transfer), runs as one fused jit
+(decode + optional 2-D rematch + structure-tensor weights + Schur GN),
+and its flat result is fetched on a background thread; poses and
+refined idepths apply 1-2 dispatches later via one fused pose scatter
+and one identity-guarded idepth scatter. Identity guards (feat_id must
+still match the slot) make the apply lag safe against slot recycling.
 """
 
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from flame_tpu.ba import residuals as resid
 from flame_tpu.ba import schur
 from flame_tpu.params import BAParams
+
+
+def split_packed(params, arr: np.ndarray):
+    """Host-side decode of the widened packed transfer
+    (pipeline.pack_ba_outputs layout). Returns (packed_u16 (N, 3),
+    snap dict or None). A plain u16 array (BA off) passes through."""
+    arr = np.asarray(arr)
+    if arr.dtype == np.uint16:
+        return arr, None
+    N = params.feature_capacity
+    P = params.poseframe_capacity
+    fixed = 3 * N // 2 + 3 * N + 8 * P
+    B = (arr.size - fixed) // (2 * N)
+    off = 0
+
+    def take(n):
+        nonlocal off
+        s = arr[off: off + n]
+        off += n
+        return s
+
+    pk = take(3 * N // 2).view(np.uint16).reshape(N, 3)
+    uv = take(2 * B * N).view(np.uint16).reshape(B, N, 4)
+    mu = take(N).view(np.float32)
+    feat_id = take(N)
+    pf_slot = take(N)
+    stack_fid = take(P)
+    stack_q = take(4 * P).view(np.float32).reshape(P, 4)
+    stack_t = take(3 * P).view(np.float32).reshape(P, 3)
+    snap = dict(uv=uv, mu=mu, feat_id=feat_id, pf_slot=pf_slot,
+                stack_fid=stack_fid, stack_q=stack_q, stack_t=stack_t)
+    return pk, snap
 
 
 class ObservationStore:
@@ -92,6 +139,9 @@ class ObservationStore:
         order; rows beyond max_obs and landmarks beyond max_landmarks are
         dropped oldest-preserving, matching the original row-loop.
         Returns (problem, pose_order, landmark_keys, n_obs) or None.
+        The problem fields are NUMPY arrays (the caller either packs them
+        into the one-buffer solve upload or converts for the sharded
+        path) — no device arrays are created here.
         """
         aid, oid, fid, ur_all, uo_all = self._ordered()
         if aid.size == 0:
@@ -163,12 +213,12 @@ class ObservationStore:
         Mp = max_obs
         pad = Mp - M
         obs = resid.BAObservations(
-            anchor_idx=jnp.asarray(np.pad(a, (0, pad))),
-            obs_idx=jnp.asarray(np.pad(o, (0, pad))),
-            lm_idx=jnp.asarray(np.pad(l, (0, pad))),
-            u_ref=jnp.asarray(np.pad(ur, ((0, pad), (0, 0)))),
-            u_obs=jnp.asarray(np.pad(uo, ((0, pad), (0, 0)))),
-            valid=jnp.asarray(np.arange(Mp) < M))
+            anchor_idx=np.pad(a, (0, pad)),
+            obs_idx=np.pad(o, (0, pad)),
+            lm_idx=np.pad(l, (0, pad)),
+            u_ref=np.pad(ur, ((0, pad), (0, 0))),
+            u_obs=np.pad(uo, ((0, pad), (0, 0))),
+            valid=np.arange(Mp) < M)
 
         Lp = max_landmarks
         lm_pad = np.zeros(Lp, np.float32)
@@ -179,22 +229,117 @@ class ObservationStore:
         t = np.stack([pose_by_id[f][1] for f in frame_ids]).astype(np.float32)
 
         problem = schur.BAProblem(
-            q=jnp.asarray(q), t=jnp.asarray(t),
-            lm_idepth=jnp.asarray(lm_pad),
-            lm_valid=jnp.asarray(lm_valid), obs=obs)
+            q=q, t=t, lm_idepth=lm_pad, lm_valid=lm_valid, obs=obs)
         keys = list(zip((uniq_in_order >> 32).tolist(),
                         (uniq_in_order & 0xFFFFFFFF).tolist()))
         return problem, list(frame_ids), keys, M
 
 
+def _pack_problem(problem: schur.BAProblem, slot_w: np.ndarray) -> np.ndarray:
+    """Coalesce the whole window problem into ONE i32 upload buffer:
+    [q 4P | t 3P | lm L | lm_valid L | a_idx M | o_idx M | l_idx M |
+    u_ref 2M | u_obs 2M | valid M | slot_w P] (f32 sections bitcast)."""
+    obs = problem.obs
+    return np.concatenate([
+        np.ascontiguousarray(problem.q, np.float32).view(np.int32).ravel(),
+        np.ascontiguousarray(problem.t, np.float32).view(np.int32).ravel(),
+        np.ascontiguousarray(problem.lm_idepth,
+                             np.float32).view(np.int32).ravel(),
+        np.asarray(problem.lm_valid, np.int32),
+        np.asarray(obs.anchor_idx, np.int32),
+        np.asarray(obs.obs_idx, np.int32),
+        np.asarray(obs.lm_idx, np.int32),
+        np.ascontiguousarray(obs.u_ref, np.float32).view(np.int32).ravel(),
+        np.ascontiguousarray(obs.u_obs, np.float32).view(np.int32).ravel(),
+        np.asarray(obs.valid, np.int32),
+        np.asarray(slot_w, np.int32)])
+
+
+@functools.partial(jax.jit, static_argnames=("p", "pad", "n_fixed",
+                                             "P", "L", "M"))
+def _solve_packed(p: BAParams, K, Kinv, buf, img_pad, pad: int,
+                  n_fixed: int, P: int, L: int, M: int):
+    """Decode the coalesced problem upload, optionally 2-D-rematch and
+    weight, run the Schur Gauss-Newton window solve, and return ONE flat
+    f32 result [q 4P | t 3P | lm L | cost] — one upload in, one staged
+    fetch out (the tunnel charges per transfer)."""
+    off = 0
+
+    def take(n):
+        nonlocal off
+        s = jax.lax.dynamic_slice_in_dim(buf, off, n)
+        off += n
+        return s
+
+    f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    q = f32(take(4 * P)).reshape(P, 4)
+    t = f32(take(3 * P)).reshape(P, 3)
+    lm = f32(take(L))
+    lm_valid = take(L) > 0
+    a_idx = take(M)
+    o_idx = take(M)
+    l_idx = take(M)
+    u_ref = f32(take(2 * M)).reshape(M, 2)
+    u_obs = f32(take(2 * M)).reshape(M, 2)
+    valid = take(M) > 0
+    slot_w = take(P)
+
+    obs = resid.BAObservations(anchor_idx=a_idx, obs_idx=o_idx,
+                               lm_idx=l_idx, u_ref=u_ref, u_obs=u_obs,
+                               valid=valid)
+    problem = schur.BAProblem(q=q, t=t, lm_idepth=lm, lm_valid=lm_valid,
+                              obs=obs)
+
+    sqrtW = None
+    if p.do_rematch:
+        from flame_tpu.ba import rematch
+        u_obs2, _ = rematch.rematch_observations(
+            K, Kinv, img_pad, pad, q, t, a_idx, o_idx,
+            slot_w[a_idx], slot_w[o_idx], u_ref, u_obs, l_idx, lm,
+            valid, radius=p.rematch_radius, max_cost=p.rematch_max_cost,
+            min_eig=p.rematch_min_eig)
+        problem = problem._replace(obs=obs._replace(u_obs=u_obs2))
+    if p.aniso_weights:
+        from flame_tpu.ba import rematch
+        sqrtW = rematch.observation_weights(img_pad, pad, slot_w[a_idx],
+                                            u_ref)
+
+    qf, tf, lmf, cost = schur.solve_window.__wrapped__(
+        p, K, Kinv, problem, n_fixed=n_fixed, sqrtW=sqrtW)
+    return jnp.concatenate([qf.reshape(-1), tf.reshape(-1), lmf,
+                            cost.reshape(1)])
+
+
+@jax.jit
+def _apply_idepths(feats, trip):
+    """Scatter refined idepths back into the feature state: trip (L, 3)
+    i32 rows [slot, feat_id, mu_bits]. Guarded by identity — a slot
+    recycled since the solve snapshot (feat_id mismatch) or invalidated
+    is left untouched, making the async apply lag safe."""
+    slots = trip[:, 0]
+    ids = trip[:, 1]
+    mus = jax.lax.bitcast_convert_type(trip[:, 2], jnp.float32)
+    N = feats.idepth_mu.shape[0]
+    sl = jnp.clip(slots, 0, N - 1)
+    ok = (slots >= 0) & (feats.feat_id[sl] == ids) & feats.valid[sl]
+    tgt = jnp.where(ok, sl, N)
+    return feats._replace(
+        idepth_mu=feats.idepth_mu.at[tgt].set(mus, mode="drop"))
+
+
 class BundleAdjuster:
-    """Drives windowed BA over a Flame instance."""
+    """Drives windowed BA over a Flame instance, asynchronously: obs +
+    state snapshots arrive on the pipeline's packed transfer, solves run
+    as one fused dispatch with a background result fetch, and results
+    apply 1-2 dispatches later under identity guards."""
 
     def __init__(self, params: BAParams, K, Kinv, mesh=None):
         """mesh: optional jax.sharding.Mesh — when set, the Gauss-Newton
         assembly runs observation-sharded over the mesh with psum'd
         Hessian blocks (parallel/distributed_ba.solve_window_sharded),
-        the ICI-reduction design SURVEY.md section 2b calls for."""
+        the ICI-reduction design SURVEY.md section 2b calls for. The
+        sharded path applies synchronously (it runs under the CPU
+        multi-controller test harness where fetches are free)."""
         self.params = params
         self.K = K
         self.Kinv = Kinv
@@ -202,130 +347,219 @@ class BundleAdjuster:
         self.store = ObservationStore(params.obs_capacity)
         self.last_cost: Optional[float] = None
         self.last_accepted: bool = False
+        self._snap = None  # latest decoded host snapshot
+        self._snap_dirty = False  # new observations since the last solve?
+        self._inflight = None  # (fetch, meta) of a staged solve result
 
-    def ingest(self, fl, obs, obs_frame_id: int) -> None:
-        """Record this update's successful matches when the observed frame
-        is a poseframe. obs: pipeline.TrackObs."""
-        success = np.asarray(obs.success)
-        if not success.any():
-            return
-        slots = np.nonzero(success)[0]
-        pf_slots = np.asarray(fl._feats.pf_slot)[slots]
-        feat_ids = np.asarray(fl._feats.feat_id)[slots]
-        stack_ids = np.asarray(fl._stack.frame_id)
-        anchor_ids = stack_ids[pf_slots]
-        keep = anchor_ids != obs_frame_id
-        slots = slots[keep]
-        if slots.shape[0] == 0:
-            return
-        self.store.add_frame(anchor_ids[keep], obs_frame_id, feat_ids[keep],
-                             np.asarray(obs.u_ref)[slots],
-                             np.asarray(obs.u_obs)[slots])
+    # ------------------------------------------------------------------
+    # Snapshot ingestion (called from Flame._consume_packed).
+    # ------------------------------------------------------------------
 
-    def _current_landmarks(self, fl):
-        """Map (feat_id, anchor_id) -> (slot, idepth) for live features.
-        Vectorized selection + one zip (this sits on the per-poseframe
-        path; a per-slot Python loop with elementwise numpy indexing
-        cost several ms at 4k slots)."""
-        feat_ids = np.asarray(fl._feats.feat_id)
-        pf_slots = np.asarray(fl._feats.pf_slot)
-        mu = np.asarray(fl._feats.idepth_mu)
-        stack_ids = np.asarray(fl._stack.frame_id)
-        sel = np.nonzero(fl._feat_valid_np & (mu > 1e-6))[0]
-        anchors = stack_ids[pf_slots[sel]]
-        return {(int(f), int(a)): (int(s), float(m))
-                for f, a, s, m in zip(feat_ids[sel].tolist(),
-                                      anchors.tolist(), sel.tolist(),
-                                      mu[sel].tolist())}
+    def ingest_snapshot(self, snap: dict, fids, pf_flags) -> None:
+        """Digest one decoded packed transfer: record the poseframe
+        frames' successful matches into the store and keep the snapshot
+        for the next solve. fids/pf_flags: the dispatch's frames (host
+        metadata stamped when the transfer was staged)."""
+        from flame_tpu.core import pipeline
+        uv = snap["uv"]
+        B = uv.shape[0]
+        scale = 1.0 / pipeline.PACK_XY_SCALE
+        for b in range(min(B, len(fids))):
+            if not pf_flags[b]:
+                continue
+            fid = int(fids[b])
+            success = uv[b, :, 2] != pipeline.PACK_BA_FAIL
+            slots = np.nonzero(success)[0]
+            if slots.size == 0:
+                continue
+            anchor_ids = snap["stack_fid"][snap["pf_slot"][slots]]
+            keep = anchor_ids != fid
+            slots = slots[keep]
+            if slots.size == 0:
+                continue
+            u_ref = uv[b, slots, 0:2].astype(np.float32) * scale
+            u_obs = uv[b, slots, 2:4].astype(np.float32) * scale
+            self.store.add_frame(anchor_ids[keep], fid,
+                                 snap["feat_id"][slots], u_ref, u_obs)
+            self._snap_dirty = True
+        self._snap = snap
 
-    def solve(self, fl, window_ids: Optional[List[int]] = None,
-              n_fixed: int = 2) -> bool:
-        """Solve over the newest window_size poseframes and write results
-        back into the pipeline. Returns True if a solve ran and was
-        accepted."""
+    def _snapshot_landmarks(self, feat_valid: np.ndarray):
+        """(feat_id, anchor_id) -> (slot, idepth) from the snapshot —
+        NO device reads (r3's _current_landmarks issued four)."""
+        s = self._snap
+        sel = np.nonzero(feat_valid & (s["mu"] > 1e-6))[0]
+        anchors = s["stack_fid"][s["pf_slot"][sel]]
+        return {(int(f), int(a)): (int(sl), float(m))
+                for f, a, sl, m in zip(s["feat_id"][sel].tolist(),
+                                       anchors.tolist(), sel.tolist(),
+                                       s["mu"][sel].tolist())}
+
+    # ------------------------------------------------------------------
+    # Pipeline advance (called once per Flame.update()).
+    # ------------------------------------------------------------------
+
+    def step(self, fl, force: bool = False) -> None:
+        """Advance the async solve pipeline: apply a finished solve
+        result if one landed, else stage a new solve when fresh
+        observations are waiting. force=True joins blocking (quiesce).
+        Under solver.deterministic every join is forced — the
+        opportunistic ready() checks depend on thread wall-clock and
+        would break bit-reproducible resume."""
+        force = force or bool(fl.params.solver.deterministic)
+        if self._inflight is not None:
+            fetch, meta = self._inflight
+            if force or fetch.ready():
+                self._inflight = None
+                self._apply(fl, fetch.get(), meta)
+            else:
+                return  # one solve in flight at a time
+        if self._snap is not None and self._snap_dirty \
+                and len(fl._pf_slot_by_id) >= 3:
+            self._stage_solve(fl)
+
+    def quiesce(self, fl) -> None:
+        """Join and apply any in-flight solve (checkpoint/save path).
+        step() may STAGE a fresh solve right after applying the old one
+        (pending observations), so drain that one too — a checkpoint
+        must leave nothing in flight (the restored instance starts with
+        none; an undrained solve would make the continued run diverge
+        from the resumed one)."""
+        self.step(fl, force=True)
+        if self._inflight is not None:
+            fetch, meta = self._inflight
+            self._inflight = None
+            self._apply(fl, fetch.get(), meta)
+
+    def _stage_solve(self, fl, n_fixed: int = 2) -> None:
         p = self.params
+        self._snap_dirty = False
         live = sorted(fl._pf_slot_by_id.keys())
-        if window_ids is None:
-            window_ids = live[-p.window_size:]
+        window_ids = live[-p.window_size:]
         if len(window_ids) < max(n_fixed + 1, 3):
-            return False
+            return
 
-        pose_by_id = {}
-        for fid in window_ids:
-            slot = fl._pf_slot_by_id[fid]
-            pose_by_id[fid] = (np.asarray(fl._stack.q[slot]),
-                               np.asarray(fl._stack.t[slot]))
-        lm_map = self._current_landmarks(fl)
+        # Poses from the snapshot (includes all previously APPLIED BA
+        # refinements — set_poses writes the device stack the snapshot
+        # is taken from). Window members must exist in the snapshot (a
+        # poseframe added after the snapshot was taken waits one round).
+        s = self._snap
+        snap_slot_by_id = {int(f): i for i, f in
+                          enumerate(s["stack_fid"].tolist()) if f >= 0}
+        window_ids = [f for f in window_ids if f in snap_slot_by_id]
+        if len(window_ids) < max(n_fixed + 1, 3):
+            return
+        pose_by_id = {f: (s["stack_q"][snap_slot_by_id[f]],
+                          s["stack_t"][snap_slot_by_id[f]])
+                      for f in window_ids}
+        lm_map = self._snapshot_landmarks(fl._feat_valid_np)
         lm_init = {k: v[1] for k, v in lm_map.items()}
 
         built = self.store.build_window(window_ids, pose_by_id, lm_init,
                                         max_landmarks=p.max_landmarks,
                                         max_obs=p.max_obs)
         if built is None:
-            return False
+            return
         problem, order, keys, n_obs = built
-
-        sqrtW = None
-        slot_w = jnp.asarray(
-            [fl._pf_slot_by_id[f] for f in order], jnp.int32)
-        obs = problem.obs
-        if p.do_rematch:
-            # Restore the perpendicular residual component the epipolar
-            # front-end removed (ba/rematch.py).
-            from flame_tpu.ba import rematch
-            u_obs2, _ = rematch.rematch_observations(
-                self.K, self.Kinv, fl._stack.img_pad, fl.params.pad,
-                problem.q, problem.t, obs.anchor_idx, obs.obs_idx,
-                slot_w[obs.anchor_idx], slot_w[obs.obs_idx],
-                obs.u_ref, obs.u_obs, obs.lm_idx, problem.lm_idepth,
-                obs.valid, radius=p.rematch_radius,
-                max_cost=p.rematch_max_cost, min_eig=p.rematch_min_eig)
-            problem = problem._replace(obs=obs._replace(u_obs=u_obs2))
-        if p.aniso_weights:
-            # Whiten residuals by each anchor patch's structure tensor:
-            # an intensity match constrains the reprojection along the
-            # local gradient only; differently-oriented edge features
-            # then combine into full pose constraints instead of their
-            # unconstrained along-edge components polluting the solve.
-            from flame_tpu.ba import rematch
-            sqrtW = rematch.observation_weights(
-                fl._stack.img_pad, fl.params.pad, slot_w[obs.anchor_idx],
-                obs.u_ref)
+        # Landmark -> CURRENT slot map for the write-back (validated
+        # again on device by feat_id at apply time).
+        lm_slots = np.array([lm_map[k][0] if k in lm_map else -1
+                             for k in keys], np.int32)
+        lm_ids = np.array([k[0] for k in keys], np.int32)
+        slot_w = np.array([fl._pf_slot_by_id[f] for f in order], np.int32)
+        P = len(order)
+        L = p.max_landmarks
+        M = p.max_obs
+        meta = dict(order=order, keys=keys, lm_slots=lm_slots,
+                    lm_ids=lm_ids, P=P, L=L, n_obs=n_obs)
 
         if self.mesh is not None:
             # Observation-sharded psum'd assembly over the mesh — ALWAYS
             # taken when a mesh is configured (VERDICT r2 #3: rows are
             # padded to device divisibility and sqrtW shards with them;
             # no silent single-device fallback remains). Counted so a
-            # deployment can see which path its solves take.
+            # deployment can see which path its solves take. Applies
+            # synchronously (multi-controller CPU harness).
             from flame_tpu.parallel import distributed_ba
+            from flame_tpu.ba import rematch
             fl.stats.add("ba_sharded_solves", 1)
+            prob_dev = jax.tree.map(jnp.asarray, problem)
+            obs = prob_dev.obs
+            sqrtW = None
+            sw = jnp.asarray(slot_w)
+            if p.do_rematch:
+                u_obs2, _ = rematch.rematch_observations(
+                    self.K, self.Kinv, fl._stack.img_pad, fl.params.pad,
+                    prob_dev.q, prob_dev.t, obs.anchor_idx, obs.obs_idx,
+                    sw[obs.anchor_idx], sw[obs.obs_idx],
+                    obs.u_ref, obs.u_obs, obs.lm_idx, prob_dev.lm_idepth,
+                    obs.valid, radius=p.rematch_radius,
+                    max_cost=p.rematch_max_cost, min_eig=p.rematch_min_eig)
+                prob_dev = prob_dev._replace(
+                    obs=obs._replace(u_obs=u_obs2))
+            if p.aniso_weights:
+                sqrtW = rematch.observation_weights(
+                    fl._stack.img_pad, fl.params.pad, sw[obs.anchor_idx],
+                    obs.u_ref)
             q, t, lm, cost = distributed_ba.solve_window_sharded(
-                p, self.K, self.Kinv, problem, self.mesh, n_fixed=n_fixed,
-                sqrtW=sqrtW)
-        else:
-            fl.stats.add("ba_single_solves", 1)
-            q, t, lm, cost = schur.solve_window(
-                p, self.K, self.Kinv, problem, n_fixed=n_fixed, sqrtW=sqrtW)
-        self.last_cost = float(cost)
-        mean_cost = self.last_cost / max(n_obs, 1)
-        self.last_accepted = np.isfinite(mean_cost) and \
-            mean_cost < p.max_mean_cost
+                p, self.K, self.Kinv, prob_dev, self.mesh,
+                n_fixed=n_fixed, sqrtW=sqrtW)
+            flat = np.concatenate([np.asarray(q).reshape(-1),
+                                   np.asarray(t).reshape(-1),
+                                   np.asarray(lm).reshape(-1),
+                                   np.asarray(cost).reshape(1)])
+            self._apply(fl, flat, meta)
+            return
+
+        from flame_tpu.core.flame import _AsyncFetch
+        fl.stats.add("ba_single_solves", 1)
+        buf = jnp.asarray(_pack_problem(problem, slot_w))  # ONE upload
+        res_dev = _solve_packed(p, self.K, self.Kinv, buf,
+                                fl._stack.img_pad, fl.params.pad,
+                                n_fixed, P, L, M)
+        self._inflight = (_AsyncFetch(res_dev), meta)
+
+    def _apply(self, fl, flat: np.ndarray, meta: dict) -> None:
+        """Acceptance-check a finished solve and write poses + refined
+        idepths back: one fused pose scatter + one identity-guarded
+        idepth scatter (no blocking reads)."""
+        from flame_tpu.core import frame as frame_mod
+        p = self.params
+        flat = np.asarray(flat)
+        P, L = meta["P"], meta["L"]
+        q = flat[: 4 * P].reshape(P, 4)
+        t = flat[4 * P: 7 * P].reshape(P, 3)
+        lm = flat[7 * P: 7 * P + L]
+        cost = float(flat[7 * P + L])
+        self.last_cost = cost
+        mean_cost = cost / max(meta["n_obs"], 1)
+        self.last_accepted = bool(np.isfinite(mean_cost)
+                                  and mean_cost < p.max_mean_cost)
         if not self.last_accepted:
-            return False
+            return
 
-        # Write back poses (the updatePoseFramePoses contract).
-        fl.update_poseframe_poses(
-            {fid: (np.asarray(q)[i], np.asarray(t)[i])
-             for i, fid in enumerate(order)})
+        # Poses: only frames still resident apply (prune/evict between
+        # stage and apply invalidates a row).
+        rows = [(fl._pf_slot_by_id[f], i)
+                for i, f in enumerate(meta["order"])
+                if f in fl._pf_slot_by_id]
+        if rows:
+            slots = np.array([r[0] for r in rows], np.int32)
+            sel = np.array([r[1] for r in rows], np.int32)
+            fl._stack = frame_mod.set_poses(
+                fl._stack, jnp.asarray(slots),
+                jnp.asarray(q[sel].astype(np.float32)),
+                jnp.asarray(t[sel].astype(np.float32)))
 
-        # Write back refined idepths for landmarks whose feature still has
-        # the same identity and anchor.
-        mu = np.asarray(fl._feats.idepth_mu).copy()
-        lm_np = np.asarray(lm)
-        for li, key in enumerate(keys):
-            hit = lm_map.get(key)
-            if hit is not None:
-                mu[hit[0]] = lm_np[li]
-        fl._feats = fl._feats._replace(idepth_mu=jnp.asarray(mu))
-        return True
+        # Refined idepths: ONE (L, 3) upload + guarded scatter. Rows are
+        # padded to the FIXED max_landmarks shape (slot -1 = inert) so
+        # _apply_idepths compiles once, not per landmark count.
+        Lk = meta["lm_slots"].shape[0]
+        slots_p = np.full(L, -1, np.int32)
+        ids_p = np.full(L, -1, np.int32)
+        slots_p[:Lk] = meta["lm_slots"]
+        ids_p[:Lk] = meta["lm_ids"]
+        trip = np.stack([slots_p, ids_p,
+                         lm.astype(np.float32).view(np.int32)],
+                        axis=1).astype(np.int32)
+        fl._feats = _apply_idepths(fl._feats, jnp.asarray(trip))

@@ -154,6 +154,22 @@ class Flame:
         self.K = jnp.asarray(K, jnp.float32)
         self.Kinv = jnp.asarray(Kinv, jnp.float32)
 
+        # The packed track transfer carries pixel coordinates in
+        # PACK_XY_SCALE fixed point (u16): images at or beyond
+        # 65536/PACK_XY_SCALE px would silently saturate the packed
+        # snapshot and corrupt the Delaunay input — fail loudly instead
+        # (core/pipeline.pack_track_outputs).
+        lim = int(65536 / pipeline.PACK_XY_SCALE)
+        if width >= lim or height >= lim:
+            raise ValueError(
+                f"image {width}x{height} exceeds the packed-coordinate "
+                f"range (< {lim} px per side at PACK_XY_SCALE="
+                f"{pipeline.PACK_XY_SCALE:g}); lower PACK_XY_SCALE for "
+                f"larger images")
+        if p.do_ba and p.feature_capacity % 2:
+            raise ValueError("do_ba needs an even feature_capacity "
+                             "(u16-pair bitcasts in pack_ba_outputs)")
+
         self.stats = StatsTracker()
         self._smoother_mode = pipeline.resolve_smoother(
             p, p.feature_capacity)
@@ -436,9 +452,9 @@ class Flame:
                 if p.solver.async_topology and self._packed_queue:
                     # Need a current mirror before bootstrap decisions:
                     # consume the newest queued transfer, discard older.
-                    pk, pk_frame = self._packed_queue[-1]
+                    pk, pk_frame, pk_meta = self._packed_queue[-1]
                     self._packed_queue.clear()
-                    self._consume_packed(pk.get(), pk_frame)
+                    self._consume_packed(pk.get(), pk_frame, pk_meta)
                 if self._n_valid == 0:
                     self._bootstrap_detect(self._curr_pf_slot)
 
@@ -505,7 +521,8 @@ class Flame:
                     len(self._packed_queue) < max(int(p.solver.topology_lag),
                                                   1):
                 self._packed_queue.append((_AsyncFetch(packed_dev),
-                                           self.num_imgs))
+                                           self.num_imgs,
+                                           ([frame_id], [is_poseframe])))
             # Adopt a finished triangulation (forced when nothing is
             # staged yet — bootstrap — so the first mesh appears asap).
             self._adopt_tri_result(
@@ -524,7 +541,8 @@ class Flame:
         else:
             # Synchronous: fetch, triangulate, and run in-frame.
             if not self._consume_packed(np.asarray(packed_dev),
-                                        self.num_imgs):
+                                        self.num_imgs,
+                                        ([frame_id], [is_poseframe])):
                 self.stats.tock("update")
                 return False
             self._adopt_tri_result(force=True)
@@ -546,12 +564,13 @@ class Flame:
             self._stack = frame_mod.set_idepthmap(
                 self._stack, self._curr_pf_slot, self._idepthmap)
             self.stats.tock("pf_set_idepthmap")
-            if self._ba is not None:
-                self.stats.tick("ba")
-                self._ba.ingest(self, track_obs, frame_id)
-                if len(self._pf_slot_by_id) >= 3:
-                    self._ba.solve(self)
-                self.stats.tock("ba")
+        if self._ba is not None:
+            # Advance the asynchronous BA pipeline (apply a landed solve
+            # result / stage a new solve) — no blocking device reads
+            # (ba/window.BundleAdjuster.step).
+            self.stats.tick("ba")
+            self._ba.step(self)
+            self.stats.tock("ba")
 
         # Stats (reference flame.cc:428-437, 513-539). Coverage comes out
         # of the post-Delaunay dispatch and is fetched lazily (coverage()).
@@ -720,17 +739,12 @@ class Flame:
         if self._dispatches % stride == 0 and \
                 len(self._packed_queue) < max(int(p.solver.topology_lag), 1):
             self._packed_queue.append((_AsyncFetch(packed_dev),
-                                       self.num_imgs))
+                                       self.num_imgs, (fids, pf_flags)))
         self._adopt_tri_result(force=bool(p.solver.deterministic))
 
-        if self._ba is not None and any(pf_flags):
+        if self._ba is not None:
             self.stats.tick("ba")
-            for b, (_tm, fid, *_rest) in enumerate(frames):
-                if pf_flags[b]:
-                    self._ba.ingest(
-                        self, jax.tree.map(lambda a, b=b: a[b], obs_b), fid)
-            if len(self._pf_slot_by_id) >= 3:
-                self._ba.solve(self)
+            self._ba.step(self)
             self.stats.tock("ba")
 
         self.stats.set("num_feats", self._n_valid)
@@ -775,7 +789,7 @@ class Flame:
         while self._packed_queue and (
                 det or self._packed_queue[0][0].ready()
                 or (too_stale and not joined_any)):
-            pk, pk_frame = self._packed_queue.popleft()
+            pk, pk_frame, pk_meta = self._packed_queue.popleft()
             self.stats.tick("fetch_packed")
             self.stats.ema("fetch_ready_frac",
                            1.0 if pk.ready() else 0.0, alpha=0.2)
@@ -785,7 +799,7 @@ class Flame:
             if pk.t_done is not None:
                 self.stats.ema("fetch_latency_ms",
                                1e3 * (pk.t_done - pk.t_start), alpha=0.2)
-            if not self._consume_packed(pk_np, pk_frame):
+            if not self._consume_packed(pk_np, pk_frame, pk_meta):
                 return False
         return True
 
@@ -1021,7 +1035,7 @@ class Flame:
         buf[2 + 3 * T_cap + 2 * E_cap: 2 + 3 * T_cap + 3 * E_cap] = carry
 
     def _consume_packed(self, packed: np.ndarray,
-                        packed_frame: int = None) -> bool:
+                        packed_frame: int = None, meta=None) -> bool:
         """Digest a packed track transfer: update host mirrors, run the
         too-few-features lifecycle checks, and kick off the asynchronous
         triangulation of the member set (joined later by
@@ -1031,9 +1045,18 @@ class Flame:
         packed_frame: num_imgs at the time the transfer was staged. The
         snapshot reflects all device-side insertions up to that frame
         (insert_detections runs before packing), so the mirror needs no
-        add-protection bookkeeping."""
+        add-protection bookkeeping.
+
+        meta: (fids, pf_flags) of the dispatch that staged the transfer
+        — the BA layer attributes the widened transfer's per-frame
+        observations with it (ba/window.split_packed layout)."""
         p = self.params
         N = p.feature_capacity
+        if self._ba is not None:
+            from flame_tpu.ba import window as ba_window
+            packed, ba_snap = ba_window.split_packed(p, packed)
+            if ba_snap is not None and meta is not None:
+                self._ba.ingest_snapshot(ba_snap, *meta)
         packed = packed[:N]
         flags = packed[:, 2]
         member_np = (flags & pipeline.PACK_MEMBER) > 0

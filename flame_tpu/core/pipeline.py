@@ -452,6 +452,8 @@ def track_step(params: Params, K, Kinv, stack: FrameStack,
         params, K, Kinv, stack, feats, fnew, curr_pf_slot, do_detect,
         prev_q, prev_t, id_base, seed_map)
     packed = pack_track_outputs(feats3, curr, member)
+    if params.do_ba:
+        packed = pack_ba_outputs(params, packed, obs, feats3, stack)
     return feats3, curr, member, stats, obs, packed
 
 
@@ -485,6 +487,8 @@ def frame_track_step(params: Params, K, Kinv, stack: FrameStack,
         params, K, Kinv, stack, feats, fnew, curr_pf_slot, do_detect,
         prev_q, prev_t, id_base, seed_map)
     packed = pack_track_outputs(feats3, curr, member)
+    if params.do_ba:
+        packed = pack_ba_outputs(params, packed, obs, feats3, stack)
     return (fnew, stack if do_insert else None, feats3, curr, member,
             stats, obs, packed)
 
@@ -958,6 +962,8 @@ def batch_step(params: Params, K, Kinv, stack: FrameStack,
 
     stats = stats_b.sum(axis=0)
     packed = pack_track_outputs.__wrapped__(feats, curr, member)
+    if params.do_ba:
+        packed = pack_ba_outputs(params, packed, obs_b, feats, stack)
 
     (graph, vtx_idepths, normals, tri_validity, idepthmap, graph_scale,
      coverage) = _post_delaunay_inner(
@@ -996,6 +1002,64 @@ def pack_track_outputs(feats: FeatureState, curr: CurrFeatures, member):
              | curr.valid.astype(jnp.uint16) * PACK_CURR_VALID
              | feats.valid.astype(jnp.uint16) * PACK_FEAT_VALID)
     return jnp.stack([fx(curr.xy[:, 0]), fx(curr.xy[:, 1]), flags], axis=1)
+
+
+# Sentinel u_obs.x value marking a failed match in the BA section of the
+# packed transfer (valid coordinates clip to 65534).
+PACK_BA_FAIL = 0xFFFF
+
+
+def pack_ba_outputs(params: Params, packed, obs: TrackObs,
+                    feats: FeatureState, stack: FrameStack) -> jax.Array:
+    """Widen the packed track transfer with everything the windowed-BA
+    host layer needs, as ONE flat int32 array (ONE device->host transfer;
+    the r3 BA path issued ~10 blocking np.asarray fetches per poseframe —
+    a >200 ms stall each through the tunneled device, VERDICT r3 #3).
+
+    Layout (int32 words; N = feature capacity, B = frames in the
+    dispatch, P = poseframe capacity):
+      [ packed u16 (N, 3) bitcast          : 3N/2
+      | uv u16 (B, N, 4) bitcast           : 2BN
+        [u_ref.x, u_ref.y, u_obs.x, u_obs.y] * PACK_XY_SCALE fixed point;
+        u_obs.x == PACK_BA_FAIL marks a failed match
+      | idepth_mu f32 (N,) bitcast         : N
+      | feat_id (N,)                       : N
+      | pf_slot (N,)                       : N
+      | stack.frame_id (P,)                : P
+      | stack.q f32 (P, 4) bitcast         : 4P
+      | stack.t f32 (P, 3) bitcast         : 3P ]
+    The host side (ba.window.split_packed) views the slices back. The
+    per-feature state and poses are the POST-DISPATCH snapshot, matching
+    the r3 behavior (BundleAdjuster.ingest read live post-batch state).
+    Requires N even (bitcasting the u16 pairs)."""
+    if obs.u_ref.ndim == 2:  # single-frame dispatch -> B = 1
+        obs = jax.tree.map(lambda a: a[None], obs)
+
+    def u16pair_to_i32(a):
+        # Direct bitcast (NOT astype: a value convert would mangle pairs
+        # whose high u16 sets the sign bit).
+        return jax.lax.bitcast_convert_type(a.reshape(-1, 2), jnp.int32)
+
+    def f32_to_i32(a):
+        return jax.lax.bitcast_convert_type(
+            a.reshape(-1).astype(jnp.float32), jnp.int32)
+
+    def fx(v):
+        return jnp.clip(v * PACK_XY_SCALE + 0.5, 0, 65534).astype(jnp.uint16)
+
+    uox = jnp.where(obs.success, fx(obs.u_obs[..., 0]),
+                    jnp.uint16(PACK_BA_FAIL))
+    uv = jnp.stack([fx(obs.u_ref[..., 0]), fx(obs.u_ref[..., 1]),
+                    uox, fx(obs.u_obs[..., 1])], axis=-1)  # (B, N, 4) u16
+    return jnp.concatenate([
+        u16pair_to_i32(packed),
+        u16pair_to_i32(uv),
+        f32_to_i32(feats.idepth_mu),
+        feats.feat_id.astype(jnp.int32),
+        feats.pf_slot.astype(jnp.int32),
+        stack.frame_id.astype(jnp.int32),
+        f32_to_i32(stack.q),
+        f32_to_i32(stack.t)])
 
 
 @functools.partial(jax.jit, static_argnames=("params", "width", "height"))

@@ -96,10 +96,26 @@ _BOX_X = (-0.75, -0.05)
 _BOX_Y = (-0.15, _FLOOR_Y)  # stands on the floor
 _BOX_Z = (3.4, 4.2)
 
+# Texture pathologies (VERDICT r3 #4) — the two classic monocular
+# failure modes the reference's gates exist for:
+#   * A TEXTURE-FREE patch on the right wall (with_flat_patch): constant
+#     intensity, zero gradient — the detection grid must yield no
+#     features there (reference detection threshold, flame.cc:1216-1251)
+#     and the mesh must interpolate across, not hallucinate.
+# (The repetitive-texture pathology — the second classic failure mode —
+# is exercised by tests/test_nonideal.py's dedicated picket-fence plane
+# scene: a fronto-parallel striped plane under lateral translation puts
+# the periodicity exactly along the epipolar search, which the corridor
+# geometry cannot do cleanly — its walls foreshorten any periodic band
+# into a chirp and its back wall is too small in view.)
+_FLAT_PATCH_Y = (-0.55, 0.55)  # on the right wall (x = _RIGHT_X)
+_FLAT_PATCH_Z = (2.6, 6.4)
+
 
 def render_frame(K: np.ndarray, q: np.ndarray, t: np.ndarray,
                  width: int, height: int, seed: int = 7,
                  with_box: bool = False,
+                 with_flat_patch: bool = False,
                  exposure_gain: float = 1.0,
                  exposure_bias: float = 0.0,
                  noise_sigma: float = 0.0,
@@ -107,9 +123,11 @@ def render_frame(K: np.ndarray, q: np.ndarray, t: np.ndarray,
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Ray-cast the corridor. Returns (uint8 image, float32 idepth map).
 
-    with_box adds the occluding box; exposure_gain/bias model per-frame
-    photometric drift (applied before quantization); noise_sigma adds
-    i.i.d. Gaussian sensor noise (intensity units, needs noise_rng)."""
+    with_box adds the occluding box; with_flat_patch blanks a patch of
+    the right wall to constant intensity (zero gradient); exposure_gain/bias
+    model per-frame photometric drift (applied before quantization);
+    noise_sigma adds i.i.d. Gaussian sensor noise (intensity units,
+    needs noise_rng)."""
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
     vv, uu = np.mgrid[0:height, 0:width].astype(np.float64)
@@ -126,10 +144,11 @@ def render_frame(K: np.ndarray, q: np.ndarray, t: np.ndarray,
     best_t = np.full((height, width), np.inf)
     val = np.zeros((height, width))
 
-    def hit(axis, plane, tex_axes, tseed, bounds=None):
+    def hit(axis, plane, tex_axes, tseed, bounds=None, tex_override=None):
         """Intersect rays with a bounded axis-aligned plane. bounds:
         {axis: (lo, hi)} limits for the non-plane axes (default: the
-        corridor extents)."""
+        corridor extents). tex_override(pt, tex) -> tex' applies a
+        texture pathology over part of the face (flat patch / stripes)."""
         nonlocal best_t, val
         if bounds is None:
             bounds = {0: (_LEFT_X - 1e-6, _RIGHT_X + 1e-6),
@@ -151,13 +170,23 @@ def render_frame(K: np.ndarray, q: np.ndarray, t: np.ndarray,
         tex = _fractal_texture(
             np.nan_to_num(pt[..., a], posinf=0.0, neginf=0.0),
             np.nan_to_num(pt[..., b], posinf=0.0, neginf=0.0), tseed)
+        if tex_override is not None:
+            tex = tex_override(pt, tex)
         best_t = np.where(ok, th, best_t)
         val = np.where(ok, tex, val)
+
+    def flat_override(pt, tex):
+        inside = ((pt[..., 1] >= _FLAT_PATCH_Y[0])
+                  & (pt[..., 1] <= _FLAT_PATCH_Y[1])
+                  & (pt[..., 2] >= _FLAT_PATCH_Z[0])
+                  & (pt[..., 2] <= _FLAT_PATCH_Z[1]))
+        return np.where(inside, 128.0, tex)
 
     hit(1, _FLOOR_Y, (0, 2), seed + 1)
     hit(1, _CEIL_Y, (0, 2), seed + 2)
     hit(0, _LEFT_X, (1, 2), seed + 3)
-    hit(0, _RIGHT_X, (1, 2), seed + 4)
+    hit(0, _RIGHT_X, (1, 2), seed + 4,
+        tex_override=flat_override if with_flat_patch else None)
     hit(2, _BACK_Z, (0, 1), seed + 5)
 
     if with_box:
@@ -188,6 +217,39 @@ def render_frame(K: np.ndarray, q: np.ndarray, t: np.ndarray,
                              "frames)")
         val = val + noise_rng.normal(0.0, noise_sigma, val.shape)
     return np.clip(val, 0, 255).astype(np.uint8), idepth.astype(np.float32)
+
+
+def wall_patch_mask(K: np.ndarray, q: np.ndarray, t: np.ndarray,
+                    width: int, height: int, axis: int, plane: float,
+                    a_axis: int, a_rng: Tuple[float, float],
+                    b_axis: int, b_rng: Tuple[float, float]) -> np.ndarray:
+    """Boolean (H, W) mask of pixels whose ray meets the wall plane
+    (coordinate `axis` == plane) inside the rectangle given by the two
+    other axes — the image footprint of a texture-pathology patch (the
+    caller intersects with the truth map's valid region; in the
+    box-free corridor the walls are never occluded)."""
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    vv, uu = np.mgrid[0:height, 0:width].astype(np.float64)
+    d = np.stack([(uu - cx) / fx, (vv - cy) / fy, np.ones_like(uu)],
+                 axis=-1)
+    w, x, y, z = q
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+    dw = d @ R.T
+    o = np.asarray(t, np.float64)
+    denom = dw[..., axis]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        th = (plane - o[axis]) / denom
+    ok = (th > 0.05) & np.isfinite(th)
+    th_safe = np.where(ok, th, 1.0)
+    pt = o[None, None, :] + th_safe[..., None] * dw
+    return (ok & (pt[..., a_axis] >= a_rng[0])
+            & (pt[..., a_axis] <= a_rng[1])
+            & (pt[..., b_axis] >= b_rng[0])
+            & (pt[..., b_axis] <= b_rng[1]))
 
 
 def generate_mini_tum(root: str, n_frames: int = 24, width: int = 256,

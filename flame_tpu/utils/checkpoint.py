@@ -23,6 +23,7 @@ import os
 from typing import Dict
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -44,10 +45,15 @@ def _quiesce(fl) -> None:
     triangulation work."""
     fl._flush_batch()
     while fl._packed_queue:
-        pk, pk_frame = fl._packed_queue.popleft()
-        if not fl._consume_packed(pk.get(), pk_frame):
+        pk, pk_frame, pk_meta = fl._packed_queue.popleft()
+        if not fl._consume_packed(pk.get(), pk_frame, pk_meta):
             break  # instance cleared itself (too few features)
     fl._adopt_tri_result(force=True)
+    if fl._ba is not None:
+        # Join and apply any in-flight asynchronous BA solve so the
+        # snapshot carries its result (a discarded solve would make the
+        # resumed run diverge from the uninterrupted one).
+        fl._ba.quiesce(fl)
 
 
 def save(path: str, fl) -> None:
@@ -142,6 +148,15 @@ def save(path: str, fl) -> None:
         arrays["ba.uref"] = st._uref
         arrays["ba.uobs"] = st._uobs
         header["ba"] = [int(st._n), int(st._head), int(st.capacity)]
+        # The async BA layer's decision state: the latest decoded
+        # snapshot and its dirty flag drive WHEN the next solve stages
+        # and from WHICH poses/landmarks — without them a resumed run
+        # would stage a different first solve than the continued one
+        # (breaking bit-equal resume).
+        if fl._ba._snap is not None:
+            for k, v in fl._ba._snap.items():
+                arrays[f"ba_snap.{k}"] = v
+            header["ba_snap_dirty"] = bool(fl._ba._snap_dirty)
 
     arrays["__header__"] = np.frombuffer(
         json.dumps(header).encode(), dtype=np.uint8)
@@ -164,6 +179,17 @@ def load(path: str, fl) -> None:
     assert header["width"] == fl.width and header["height"] == fl.height, \
         "checkpoint resolution mismatch"
 
+    def put(arr, proto):
+        """Restore an array WITH the live instance's placement: under a
+        ShardedFlame the constructor already laid out empty state with
+        its NamedShardings, so re-placing each restored array with its
+        prototype's sharding preserves the mesh layout (VERDICT r3 #5 —
+        a plain jnp.asarray silently collapsed a resumed ShardedFlame
+        onto one device). Single-device instances see a no-op."""
+        if isinstance(proto, jax.Array):
+            return jax.device_put(arr, proto.sharding)
+        return jnp.asarray(arr)
+
     def unflat(prefix, proto):
         kwargs = {}
         for k, v in proto._asdict().items():
@@ -176,19 +202,19 @@ def load(path: str, fl) -> None:
                 arr = data[key]
                 assert arr.shape == tuple(v.shape), \
                     f"{key}: {arr.shape} vs {v.shape}"
-                kwargs[k] = jnp.asarray(arr)
+                kwargs[k] = put(arr, v)
         return type(proto)(**kwargs)
 
     fl._feats = unflat("feats", fl._feats)
     fl._curr = unflat("curr", fl._curr)
     fl._graph = unflat("graph", fl._graph)
     fl._stack = unflat("stack", fl._stack)
-    fl._tris = jnp.asarray(data["tris"])
-    fl._tri_mask = jnp.asarray(data["tri_mask"])
-    fl._tri_validity = jnp.asarray(data["tri_validity"])
-    fl._vtx_idepths = jnp.asarray(data["vtx_idepths"])
-    fl._vtx_normals = jnp.asarray(data["vtx_normals"])
-    fl._idepthmap = jnp.asarray(data["idepthmap"])
+    fl._tris = put(data["tris"], fl._tris)
+    fl._tri_mask = put(data["tri_mask"], fl._tri_mask)
+    fl._tri_validity = put(data["tri_validity"], fl._tri_validity)
+    fl._vtx_idepths = put(data["vtx_idepths"], fl._vtx_idepths)
+    fl._vtx_normals = put(data["vtx_normals"], fl._vtx_normals)
+    fl._idepthmap = put(data["idepthmap"], fl._idepthmap)
     fl._edges_np = data["edges_np"]
     fl._tris_np = data["tris_np"]
     fl._last_stats_dev = jnp.asarray(data["last_stats"])
@@ -266,6 +292,15 @@ def load(path: str, fl) -> None:
         st._uobs = np.array(data["ba.uobs"])
         st._n = n
         st._head = head
+        if "ba_snap.uv" in data:
+            fl._ba._snap = {k.split(".", 1)[1]: np.array(data[k])
+                            for k in data
+                            if k.startswith("ba_snap.")}
+            fl._ba._snap_dirty = bool(header.get("ba_snap_dirty", False))
+        else:
+            fl._ba._snap = None
+            fl._ba._snap_dirty = False
+        fl._ba._inflight = None  # quiesced before save
 
     if "feat_valid_np" in data:
         fl._feat_valid_np = np.array(data["feat_valid_np"])

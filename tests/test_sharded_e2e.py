@@ -205,3 +205,58 @@ def test_sharded_ba_e2e():
     for fid, slot in fl._pf_slot_by_id.items():
         t_dev = np.asarray(fl._stack.t[slot])
         assert np.linalg.norm(t_dev - gt[fid]) < 0.02, (fid, t_dev)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """VERDICT r3 #5: save/load under a mesh must RESTORE the
+    NamedSharding placements (a plain restore silently collapsed a
+    resumed ShardedFlame onto one device) and the resumed run must
+    continue and match the uninterrupted one."""
+    import dataclasses
+    import os
+    from flame_tpu.utils import checkpoint
+
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    params = Params(
+        feature_capacity=512, edge_capacity=2048, triangle_capacity=1024,
+        poseframe_capacity=8, min_height=-100.0, max_height=100.0,
+        idepth_init=0.05, idepth_var_init=0.25,
+        detection=DetectionParams(win_size=16),
+        solver=SolverParams(n_iters_per_frame=30, max_vertex_degree=16,
+                            deterministic=True),
+        debug_quiet=True)
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+
+    def run(fl, a, b):
+        for i in range(a, b):
+            cam_x = 0.15 * i
+            fl.update(i * 0.1, i, (se3.quat_identity(),
+                                   jnp.array([cam_x, 0.0, 0.0])),
+                      render(cam_x), i % 2 == 0)
+
+    fl = ShardedFlame(W, H, K, camera.inv_k(K), params, mesh=mesh)
+    run(fl, 0, 10)
+    path = os.path.join(tmp_path, "sharded.npz")
+    checkpoint.save(path, fl)
+
+    fl2 = ShardedFlame(W, H, K, camera.inv_k(K), params, mesh=mesh)
+    checkpoint.load(path, fl2)
+
+    # Placements restored: the feature/graph state must span the mesh
+    # with the SAME shardings the constructor laid out, not sit on one
+    # device.
+    for name, arr in [("feats.mu", fl2._feats.idepth_mu),
+                      ("graph.x", fl2._graph.x),
+                      ("curr.xy", fl2._curr.xy)]:
+        sh = arr.sharding
+        assert len(sh.device_set) == 8, (name, sh)
+        assert not sh.is_fully_replicated, name
+    assert fl2._stack.img_pad.sharding.is_fully_replicated
+
+    # Continue BOTH runs; they must agree (deterministic async joins).
+    run(fl, 10, 16)
+    run(fl2, 10, 16)
+    a = fl.get_inverse_depth_map()
+    b = fl2.get_inverse_depth_map()
+    np.testing.assert_array_equal(a, b)
+    assert np.mean(~np.isnan(b)) > 0.5
