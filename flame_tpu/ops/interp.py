@@ -94,12 +94,17 @@ def bilinear_stack(imgs: jax.Array, frame_idx: jax.Array, x: jax.Array,
     fidx = jnp.clip(frame_idx, 0, F - 1).astype(jnp.int32)
     idx00 = fidx * (H * W) + y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
     flat = imgs.reshape(-1).astype(jnp.float32)
-    # Measured on v5e (16-poseframe VGA stack, 5.2M elements): the packed
-    # path wins even for the 5-tap ref-patch query (0.37 vs 0.53 ms at
-    # 20k rows; 1.9 vs 5.8 ms at 180k) — XLA's gather lowering charges
-    # far more per extra gather than the (F*H*W, 4) pack materializes.
-    # Only truly tiny queries skip the pack.
-    if x.size >= 4096:
+    # Same size gate as bilinear(): the packed-corner table is O(stack),
+    # so it only pays when the sample count is within ~an order of the
+    # pixel count. The r2 microbench (one-off call, static stack)
+    # measured the pack slightly ahead even for the 5-tap ref-patch
+    # query (0.37 vs 0.53 ms at 20k rows) — but inside batch_step's
+    # scan the poseframe stack MUTATES mid-batch, so XLA rebuilt the
+    # 80 MB table + ran 4 full-stack layout-conversion loops EVERY
+    # scan iteration to serve those 20k samples: ~2 ms/frame, the
+    # single largest item in the r4 device profile. The direct 4-corner
+    # gather is O(samples) regardless of stack mutation.
+    if x.size * 8 >= imgs.size:
         # Packed-corner row gather as in bilinear(); the roll wraparound
         # between adjacent frames is never gathered (interior clamp keeps
         # idx00 + W + 1 within the sample's own frame).
