@@ -229,7 +229,10 @@ def main():
     # fetch_stride, joined ~join_age frames later, triangulated async,
     # and applied one pair after that (~frame 12 at the defaults) — only
     # then has every jit variant on the steady-state path executed once.
-    n_warm = 16
+    # (+8 with BA on: the first window solve stages ~frame 6 and its
+    # apply-side executables — guarded scatter, fused pose write — first
+    # run 1-2 batches later; they must compile inside warmup.)
+    n_warm = 16 + (8 if do_ba else 0)
     # 25 windows spread the measurement over a long enough span that the
     # shared tunnel's multi-second stall phases (config-independent; see
     # NOTES.md) are SAMPLED rather than dominant. win_len is rounded UP
