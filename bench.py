@@ -34,7 +34,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def make_params(do_ba: bool):
-    from flame_tpu.params import Params, DetectionParams, SolverParams
+    from flame_tpu.params import (Params, DetectionParams, SolverParams,
+                                  BAParams)
+    # BA deployment posture for the bench (BENCH_BA=1): the bench
+    # declares every 2nd frame a poseframe (far denser than a real
+    # frontend's ~1-in-10), so solving at every new poseframe would run
+    # the ~14 ms window solve twice per 4-frame batch. Warm-started
+    # solves every 4 new poseframes (2 refinements per window_size=8
+    # turnover) with 3 GN iterations hold the ATE benefit at a fraction
+    # of the device cost (tests/test_evaluation.py pins quality with
+    # the default cadence; tools note in NOTES.md r4).
+    ba = BAParams(n_gn_iters=int(os.environ.get("BENCH_BA_GN", 3)),
+                  solve_min_new_pfs=int(
+                      os.environ.get("BENCH_BA_MINPF", 4)))
     # Capacities sized to Delaunay maxima for 4096 features (T <= 2V,
     # E <= 3V): the per-frame topology upload scales with them and the
     # tunnel link is the bottleneck.
@@ -45,7 +57,7 @@ def make_params(do_ba: bool):
         idepth_init=0.05,
         min_baseline=float(os.environ.get('BENCH_MINB', 0.01)),
         detection=DetectionParams(win_size=16),
-        do_ba=do_ba,
+        do_ba=do_ba, ba=ba,
         solver=SolverParams(
             # The r2 bench config (degree 16, reach 2) dropped 1-2 edges
             # per frame (the self-tripped capacity warning, VERDICT r2

@@ -64,7 +64,10 @@ def rematch_observations(K, Kinv, imgs_pad, pad: int, qw, tw,
     wx = u_pred[:, 0, None, None] + offs[None, None, :] + pad
     wy = u_pred[:, 1, None, None] + offs[None, :, None] + pad
     fobs = jnp.broadcast_to(obs_slot[:, None, None], (M, Wn, Wn))
-    win = interp.bilinear_stack(imgs_pad, fobs, wx, wy)  # (M, Wn, Wn)
+    # packed=True: ~500k one-off samples from a static stack — the
+    # 4-per-sample direct gather measured 22 ms/solve on v5e (r4).
+    win = interp.bilinear_stack(imgs_pad, fobs, wx, wy,
+                                packed=True)  # (M, Wn, Wn)
 
     # Anchor patch at u_ref.
     Pn = 2 * hp + 1
@@ -72,7 +75,8 @@ def rematch_observations(K, Kinv, imgs_pad, pad: int, qw, tw,
     px = u_ref[:, 0, None, None] + poffs[None, None, :] + pad
     py = u_ref[:, 1, None, None] + poffs[None, :, None] + pad
     fanc = jnp.broadcast_to(anchor_slot[:, None, None], (M, Pn, Pn))
-    patch = interp.bilinear_stack(imgs_pad, fanc, px, py)  # (M, Pn, Pn)
+    patch = interp.bilinear_stack(imgs_pad, fanc, px, py,
+                                  packed=True)  # (M, Pn, Pn)
 
     # SSD field over candidate centers: costs[(cy, cx)] =
     # sum_patch (win[cy+py, cx+px] - patch[py, px])^2, cy/cx in [0, 2r].
@@ -155,7 +159,7 @@ def observation_weights(imgs_pad, pad: int, anchor_slot, u_ref,
     px = u_ref[:, 0, None, None] + poffs[None, None, :] + pad
     py = u_ref[:, 1, None, None] + poffs[None, :, None] + pad
     fanc = jnp.broadcast_to(anchor_slot[:, None, None], (M, Pn, Pn))
-    patch = interp.bilinear_stack(imgs_pad, fanc, px, py)
+    patch = interp.bilinear_stack(imgs_pad, fanc, px, py, packed=True)
 
     gx = 0.5 * (patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2])
     gy = 0.5 * (patch[:, 2:, 1:-1] - patch[:, :-2, 1:-1])

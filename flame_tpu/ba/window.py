@@ -350,6 +350,7 @@ class BundleAdjuster:
         self._snap = None  # latest decoded host snapshot
         self._snap_dirty = False  # new observations since the last solve?
         self._inflight = None  # (fetch, meta) of a staged solve result
+        self._last_solve_pf = -1  # newest pf id when the last solve staged
 
     # ------------------------------------------------------------------
     # Snapshot ingestion (called from Flame._consume_packed).
@@ -416,7 +417,9 @@ class BundleAdjuster:
                 return  # one solve in flight at a time
         if self._snap is not None and self._snap_dirty \
                 and len(fl._pf_slot_by_id) >= 3:
-            self._stage_solve(fl)
+            newest = max(fl._pf_slot_by_id.keys())
+            if newest - self._last_solve_pf >= self.params.solve_min_new_pfs:
+                self._stage_solve(fl)
 
     def quiesce(self, fl) -> None:
         """Join and apply any in-flight solve (checkpoint/save path).
@@ -434,6 +437,7 @@ class BundleAdjuster:
     def _stage_solve(self, fl, n_fixed: int = 2) -> None:
         p = self.params
         self._snap_dirty = False
+        self._last_solve_pf = max(fl._pf_slot_by_id.keys())
         live = sorted(fl._pf_slot_by_id.keys())
         window_ids = live[-p.window_size:]
         if len(window_ids) < max(n_fixed + 1, 3):

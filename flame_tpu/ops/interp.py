@@ -77,10 +77,17 @@ def bilinear_uv(img: jax.Array, uv: jax.Array) -> jax.Array:
 
 
 def bilinear_stack(imgs: jax.Array, frame_idx: jax.Array, x: jax.Array,
-                   y: jax.Array) -> jax.Array:
+                   y: jax.Array, packed: bool = None) -> jax.Array:
     """Sample from a stack of images (F, H, W), selecting image frame_idx per
     sample. Used when each feature samples its own anchor poseframe's image
     (reference flame.cc:1691: pfs.at(feat.frame_id)->img_pad).
+
+    packed: None picks by the samples-vs-pixels heuristic below; pass
+    True/False to force. Callers whose stack is STATIC across many
+    samples in one dispatch (e.g. ba/rematch's window gathers, ~500k
+    samples once per solve) force True — the table build amortizes —
+    while in-scan callers over a MUTATING stack must never pack (the
+    table would rebuild every scan iteration; r4 profile).
     """
     F, H, W = imgs.shape
     x = jnp.clip(x, 0.0, W - 1.001)
@@ -104,7 +111,7 @@ def bilinear_stack(imgs: jax.Array, frame_idx: jax.Array, x: jax.Array,
     # scan iteration to serve those 20k samples: ~2 ms/frame, the
     # single largest item in the r4 device profile. The direct 4-corner
     # gather is O(samples) regardless of stack mutation.
-    if x.size * 8 >= imgs.size:
+    if packed if packed is not None else (x.size * 8 >= imgs.size):
         # Packed-corner row gather as in bilinear(); the roll wraparound
         # between adjacent frames is never gathered (interior clamp keeps
         # idx00 + W + 1 within the sample's own frame).

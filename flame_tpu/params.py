@@ -193,6 +193,14 @@ class BAParams:
     # A solve whose final mean weighted residual^2 exceeds this (px^2) is
     # considered diverged/contaminated: nothing is written back.
     max_mean_cost: float = 9.0
+    # Stage a new window solve only after this many NEW poseframes since
+    # the last staged solve (1 = every new poseframe, the reference-
+    # estimator-like cadence). Each solve costs ~14 ms of device time at
+    # the default window (rematch + Gauss-Newton, measured v5e r4);
+    # since solves warm-start from the previous solution, a deployment
+    # that cannot spare that per poseframe raises this — e.g. 4 with
+    # window_size=8 still refines every pose twice per window turnover.
+    solve_min_new_pfs: int = 1
     # Quadratic prior anchoring each pose to its input value (px^2 per
     # (m|rad)^2): BA refines within the external estimator's uncertainty
     # instead of free-floating on match noise. 0 disables.
