@@ -45,7 +45,7 @@ def split_packed(params, arr: np.ndarray):
     N = params.feature_capacity
     P = params.poseframe_capacity
     fixed = 3 * N // 2 + 3 * N + 8 * P
-    B = (arr.size - fixed) // (2 * N)
+    B = (arr.size - fixed) // N
     off = 0
 
     def take(n):
@@ -55,14 +55,16 @@ def split_packed(params, arr: np.ndarray):
         return s
 
     pk = take(3 * N // 2).view(np.uint16).reshape(N, 3)
-    uv = take(2 * B * N).view(np.uint16).reshape(B, N, 4)
+    uo = take(B * N).view(np.uint16).reshape(B, N, 2)
+    xy = take(N).view(np.uint16).reshape(N, 2)
     mu = take(N).view(np.float32)
-    feat_id = take(N)
-    pf_slot = take(N)
+    id_slot = take(N)
     stack_fid = take(P)
     stack_q = take(4 * P).view(np.float32).reshape(P, 4)
     stack_t = take(3 * P).view(np.float32).reshape(P, 3)
-    snap = dict(uv=uv, mu=mu, feat_id=feat_id, pf_slot=pf_slot,
+    snap = dict(uo=uo, xy=xy, mu=mu,
+                feat_id=id_slot & 0xFFFFFF,
+                pf_slot=(id_slot >> 24) & 0x7F,
                 stack_fid=stack_fid, stack_q=stack_q, stack_t=stack_t)
     return pk, snap
 
@@ -321,7 +323,14 @@ def _apply_idepths(feats, trip):
     mus = jax.lax.bitcast_convert_type(trip[:, 2], jnp.float32)
     N = feats.idepth_mu.shape[0]
     sl = jnp.clip(slots, 0, N - 1)
-    ok = (slots >= 0) & (feats.feat_id[sl] == ids) & feats.valid[sl]
+    # Compare ids MASKED to 24 bits: the packed transfer carries
+    # feat_id mod 2^24 (pipeline.pack_ba_outputs id_slot word), so the
+    # host-side ids are masked — comparing against the full device id
+    # would silently reject every write-back once the id counter
+    # crosses 2^24.
+    ok = (slots >= 0) \
+        & ((feats.feat_id[sl] & 0xFFFFFF) == (ids & 0xFFFFFF)) \
+        & feats.valid[sl]
     tgt = jnp.where(ok, sl, N)
     return feats._replace(
         idepth_mu=feats.idepth_mu.at[tgt].set(mus, mode="drop"))
@@ -362,14 +371,14 @@ class BundleAdjuster:
         for the next solve. fids/pf_flags: the dispatch's frames (host
         metadata stamped when the transfer was staged)."""
         from flame_tpu.core import pipeline
-        uv = snap["uv"]
-        B = uv.shape[0]
+        uo = snap["uo"]
+        B = uo.shape[0]
         scale = 1.0 / pipeline.PACK_XY_SCALE
         for b in range(min(B, len(fids))):
             if not pf_flags[b]:
                 continue
             fid = int(fids[b])
-            success = uv[b, :, 2] != pipeline.PACK_BA_FAIL
+            success = uo[b, :, 0] != pipeline.PACK_BA_FAIL
             slots = np.nonzero(success)[0]
             if slots.size == 0:
                 continue
@@ -378,8 +387,8 @@ class BundleAdjuster:
             slots = slots[keep]
             if slots.size == 0:
                 continue
-            u_ref = uv[b, slots, 0:2].astype(np.float32) * scale
-            u_obs = uv[b, slots, 2:4].astype(np.float32) * scale
+            u_ref = snap["xy"][slots].astype(np.float32) * scale
+            u_obs = uo[b, slots].astype(np.float32) * scale
             self.store.add_frame(anchor_ids[keep], fid,
                                  snap["feat_id"][slots], u_ref, u_obs)
             self._snap_dirty = True

@@ -169,6 +169,10 @@ class Flame:
         if p.do_ba and p.feature_capacity % 2:
             raise ValueError("do_ba needs an even feature_capacity "
                              "(u16-pair bitcasts in pack_ba_outputs)")
+        if p.do_ba and p.poseframe_capacity > 128:
+            raise ValueError("do_ba packs pf_slot into bits 24..30 of "
+                             "the id_slot word; poseframe_capacity must "
+                             "be <= 128 (pack_ba_outputs)")
 
         self.stats = StatsTracker()
         self._smoother_mode = pipeline.resolve_smoother(

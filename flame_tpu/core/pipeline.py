@@ -1019,19 +1019,29 @@ def pack_ba_outputs(params: Params, packed, obs: TrackObs,
     Layout (int32 words; N = feature capacity, B = frames in the
     dispatch, P = poseframe capacity):
       [ packed u16 (N, 3) bitcast          : 3N/2
-      | uv u16 (B, N, 4) bitcast           : 2BN
-        [u_ref.x, u_ref.y, u_obs.x, u_obs.y] * PACK_XY_SCALE fixed point;
-        u_obs.x == PACK_BA_FAIL marks a failed match
+      | u_obs u16 (B, N, 2) bitcast        : BN
+        [x, y] * PACK_XY_SCALE fixed point; x == PACK_BA_FAIL marks a
+        failed match
+      | feats.xy u16 (N, 2) bitcast        : N  (the batch's u_ref)
       | idepth_mu f32 (N,) bitcast         : N
-      | feat_id (N,)                       : N
-      | pf_slot (N,)                       : N
+      | id_slot (N,)                       : N  (pf_slot << 24 | feat_id)
       | stack.frame_id (P,)                : P
       | stack.q f32 (P, 4) bitcast         : 4P
       | stack.t f32 (P, 3) bitcast         : 3P ]
-    The host side (ba.window.split_packed) views the slices back. The
-    per-feature state and poses are the POST-DISPATCH snapshot, matching
-    the r3 behavior (BundleAdjuster.ingest read live post-batch state).
-    Requires N even (bitcasting the u16 pairs)."""
+    The host side (ba.window.split_packed) views the slices back.
+
+    Everything except u_obs is the POST-DISPATCH snapshot — including
+    the anchor pixel u_ref (feats.xy), sent ONCE per dispatch instead
+    of per frame (the per-frame u_ref doubled the BA bytes through the
+    tunnel, r4). For a feature re-anchored MID-batch this pairs earlier
+    frames' observations with the new anchor's id AND pixel — a
+    self-consistent (anchor, u_ref, idepth) triple (the r3 code paired
+    the new anchor id with the OLD pixel). Requires N even (u16-pair
+    bitcasts) and poseframe_capacity <= 128 (id_slot packing; checked
+    at Flame.__init__). feat_ids ride mod 2^24: a collision needs two
+    features ~14M ids (~10k poseframes of detections) apart, far beyond
+    the observation ring buffer's horizon, and the device-side identity
+    guard at write-back compares the same masked id."""
     if obs.u_ref.ndim == 2:  # single-frame dispatch -> B = 1
         obs = jax.tree.map(lambda a: a[None], obs)
 
@@ -1049,14 +1059,16 @@ def pack_ba_outputs(params: Params, packed, obs: TrackObs,
 
     uox = jnp.where(obs.success, fx(obs.u_obs[..., 0]),
                     jnp.uint16(PACK_BA_FAIL))
-    uv = jnp.stack([fx(obs.u_ref[..., 0]), fx(obs.u_ref[..., 1]),
-                    uox, fx(obs.u_obs[..., 1])], axis=-1)  # (B, N, 4) u16
+    uo = jnp.stack([uox, fx(obs.u_obs[..., 1])], axis=-1)  # (B, N, 2) u16
+    xy = jnp.stack([fx(feats.xy[:, 0]), fx(feats.xy[:, 1])], axis=-1)
+    id_slot = (feats.pf_slot.astype(jnp.int32) << 24) \
+        | (feats.feat_id.astype(jnp.int32) & 0xFFFFFF)
     return jnp.concatenate([
         u16pair_to_i32(packed),
-        u16pair_to_i32(uv),
+        u16pair_to_i32(uo),
+        u16pair_to_i32(xy),
         f32_to_i32(feats.idepth_mu),
-        feats.feat_id.astype(jnp.int32),
-        feats.pf_slot.astype(jnp.int32),
+        id_slot,
         stack.frame_id.astype(jnp.int32),
         f32_to_i32(stack.q),
         f32_to_i32(stack.t)])

@@ -292,7 +292,7 @@ def load(path: str, fl) -> None:
         st._uobs = np.array(data["ba.uobs"])
         st._n = n
         st._head = head
-        if "ba_snap.uv" in data:
+        if "ba_snap.uo" in data:
             fl._ba._snap = {k.split(".", 1)[1]: np.array(data[k])
                             for k in data
                             if k.startswith("ba_snap.")}

@@ -50,12 +50,16 @@ def main():
         Y = (vv - H / 2) * PLANE_Z / FX
         return np.clip(tex(X, Y), 0, 255).astype(np.uint8)
 
+    do_ba = os.environ.get("PROFILE_BA", "0") != "0"
+    from flame_tpu.params import BAParams
     params = Params(
         feature_capacity=4096, edge_capacity=12288, triangle_capacity=8192,
         poseframe_capacity=16,
         min_height=-1e6, max_height=1e6,
         idepth_init=0.05, min_baseline=0.01,
         detection=DetectionParams(win_size=16),
+        do_ba=do_ba,
+        ba=BAParams(n_gn_iters=3, solve_min_new_pfs=4),
         solver=SolverParams(
             max_vertex_degree=20, pallas_reach=3, async_topology=True,
             topology_lag=2, frame_batch=4, fetch_stride=1, join_age=12,
@@ -66,8 +70,8 @@ def main():
     Kinv = camera.inv_k(K)
     fl = Flame(W, H, K, Kinv, params)
 
-    n_warm = 24
-    n_prof = 8  # two batches traced
+    n_warm = 24 + (8 if do_ba else 0)
+    n_prof = 16 if do_ba else 8  # 2 batches traced (4 with BA: cadence)
     frames = [render(0.08 * i) for i in range(n_warm + n_prof)]
     frames = [jax.device_put(f) for f in frames]
     jax.block_until_ready(frames)
