@@ -1458,21 +1458,31 @@ class Flame:
         return visualization.draw_detections(self._gray(), score, winners)
 
     def get_debug_image_matches(self) -> np.ndarray:
-        """Features colored by the last search outcome (reference
-        drawMatches coloring in updateFeatureIDepths, flame.cc:1697-1725):
-        green = success, white = ref-patch gradient fail, red = ambiguous,
-        yellow = max cost."""
+        """Features colored by the last search outcome, matching the
+        reference's drawMatches palette (flame.cc:1699-1746, BGR there):
+        ref-patch gradient fail = cyan (white while the feature has no
+        updates yet), ambiguous = red, max cost = yellow; success blends
+        blue -> green over num_updates 0..30 (the reference's
+        utils::blendColor draw)."""
         from flame_tpu.utils import visualization
         img = visualization.to_rgb(self._gray())
         xy = np.asarray(self._curr.xy)
         valid = np.asarray(self._curr.valid)
         status = np.asarray(self._feats.search_status)
-        colors = {0: (0, 255, 0), 1: (255, 255, 255), 2: (255, 0, 0),
-                  3: (255, 255, 0)}
+        nupd = np.asarray(self._feats.num_updates)
         Hh, Ww = img.shape[:2]
         for s in np.nonzero(valid)[0]:
             x, y = int(round(xy[s, 0])), int(round(xy[s, 1]))
-            c = colors.get(int(status[s]), (128, 128, 128))
+            st = int(status[s])
+            if st == 1:  # FAIL_REF_PATCH_GRADIENT
+                c = (255, 255, 255) if nupd[s] == 0 else (0, 255, 255)
+            elif st == 2:  # FAIL_AMBIGUOUS_MATCH
+                c = (255, 0, 0)
+            elif st == 3:  # FAIL_MAX_COST
+                c = (255, 255, 0)
+            else:  # SUCCESS: blue -> green by update count
+                a = min(max(nupd[s] / 30.0, 0.0), 1.0)
+                c = (0, int(255 * a), int(255 * (1 - a)))
             img[max(0, y - 2):min(Hh, y + 3),
                 max(0, x - 2):min(Ww, x + 3)] = c
         return img
