@@ -80,14 +80,14 @@ def make_params(do_ba: bool):
             # even in a bad link period where batch=2 sat at 45-54.
             frame_batch=int(os.environ.get("BENCH_BATCH", 4)),
             fetch_stride=int(os.environ.get("BENCH_STRIDE", 1)),
-            # join_age 12 (r3): the blocking head-join is the only
-            # stall in bad link weather; at batch=4 a join_age of one
-            # batch forces a ~fetch-latency block EVERY batch, while 12
-            # amortizes it over 3 batches. Measured same-phase A/B:
-            # 31->65 and 55->63 fps in bad weather, quality unchanged
-            # (topology staleness stays masked-inert); good weather
-            # unaffected (joins only block when the fetch isn't ready).
-            join_age=int(os.environ.get("BENCH_JOINAGE", 12)),
+            # join_age 24 (r4; was 12 in r3): the blocking head-join is
+            # the only stall in bad link weather — 12 amortizes it over
+            # 3 batches, 24 over 6. r4 A/B (4 runs, alternating order):
+            # ja24 94.5/97.5 vs ja12 81.1/76.9 median fps with identical
+            # coverage/error, and ja24 runs consistently measured LOWER
+            # fetch latency (fewer blocked joins congest the link less).
+            # Topology staleness stays masked-inert either way.
+            join_age=int(os.environ.get("BENCH_JOINAGE", 24)),
             smoother=os.environ.get("BENCH_SMOOTHER", "auto"),
             n_iters_per_frame=int(os.environ.get("BENCH_ITERS", 40))),
         debug_quiet=True)
