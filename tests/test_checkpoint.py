@@ -62,8 +62,11 @@ def test_checkpoint_midbatch_ba_bit_equal_resume(tmp_path):
     params = make_params()
     params = params.replace(
         do_ba=True,
+        # solve_min_new_pfs=3: the solve-cadence watermark must
+        # round-trip (a resumed run would otherwise stage its next
+        # solve earlier than the continued one).
         ba=BAParams(window_size=4, n_gn_iters=2, obs_capacity=2048,
-                    max_landmarks=256, max_obs=512),
+                    max_landmarks=256, max_obs=512, solve_min_new_pfs=3),
         # deterministic=True pins the async fetch/triangulation joins to
         # their staging points; the opportunistic joins depend on thread
         # wall-clock and would make bit-reproducibility a coin flip.
