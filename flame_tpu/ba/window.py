@@ -19,8 +19,9 @@ buffer (the tunnel charges per transfer), runs as one fused jit
 (decode + optional 2-D rematch + structure-tensor weights + Schur GN),
 and its flat result is fetched on a background thread; poses and
 refined idepths apply 1-2 dispatches later via one fused pose scatter
-and one identity-guarded idepth scatter. Identity guards (feat_id must
-still match the slot) make the apply lag safe against slot recycling.
+and one identity-guarded idepth scatter. Identity guards (the slot must
+still hold the same feat_id AND anchor poseframe slot) make the apply
+lag safe against slot recycling and mid-flight re-anchoring.
 """
 
 import functools
@@ -314,13 +315,21 @@ def _solve_packed(p: BAParams, K, Kinv, buf, img_pad, pad: int,
 
 @jax.jit
 def _apply_idepths(feats, trip):
-    """Scatter refined idepths back into the feature state: trip (L, 3)
-    i32 rows [slot, feat_id, mu_bits]. Guarded by identity — a slot
-    recycled since the solve snapshot (feat_id mismatch) or invalidated
-    is left untouched, making the async apply lag safe."""
+    """Scatter refined idepths back into the feature state: trip (L, 4)
+    i32 rows [slot, feat_id, anchor_slot, mu_bits]. Guarded by full
+    identity — the slot must still hold the same feat_id AND the same
+    anchor poseframe slot. A feature re-anchored between solve stage
+    and apply (eviction-driven reanchor_features, or a track move)
+    keeps its feat_id and validity but its idepth is re-parameterized
+    into the NEW anchor frame; writing the solve's refined value (in
+    the OLD anchor frame) over it would inject a wrong-scale depth.
+    Re-anchoring always changes pf_slot (the reanchor target is never
+    the killed slot), so the anchor-slot comparison catches every such
+    case."""
     slots = trip[:, 0]
     ids = trip[:, 1]
-    mus = jax.lax.bitcast_convert_type(trip[:, 2], jnp.float32)
+    anchor_slots = trip[:, 2]
+    mus = jax.lax.bitcast_convert_type(trip[:, 3], jnp.float32)
     N = feats.idepth_mu.shape[0]
     sl = jnp.clip(slots, 0, N - 1)
     # Compare ids MASKED to 24 bits: the packed transfer carries
@@ -330,6 +339,7 @@ def _apply_idepths(feats, trip):
     # crosses 2^24.
     ok = (slots >= 0) \
         & ((feats.feat_id[sl] & 0xFFFFFF) == (ids & 0xFFFFFF)) \
+        & (feats.pf_slot[sl] == anchor_slots) \
         & feats.valid[sl]
     tgt = jnp.where(ok, sl, N)
     return feats._replace(
@@ -359,7 +369,7 @@ class BundleAdjuster:
         self._snap = None  # latest decoded host snapshot
         self._snap_dirty = False  # new observations since the last solve?
         self._inflight = None  # (fetch, meta) of a staged solve result
-        self._last_solve_pf = -1  # newest pf id when the last solve staged
+        self._new_pf_count = 0  # poseframes ingested since the last solve
 
     # ------------------------------------------------------------------
     # Snapshot ingestion (called from Flame._consume_packed).
@@ -392,18 +402,22 @@ class BundleAdjuster:
             self.store.add_frame(anchor_ids[keep], fid,
                                  snap["feat_id"][slots], u_ref, u_obs)
             self._snap_dirty = True
+            self._new_pf_count += 1  # a POSEFRAME's obs landed
         self._snap = snap
 
     def _snapshot_landmarks(self, feat_valid: np.ndarray):
-        """(feat_id, anchor_id) -> (slot, idepth) from the snapshot —
-        NO device reads (r3's _current_landmarks issued four)."""
+        """(feat_id, anchor_id) -> (slot, idepth, anchor_slot) from the
+        snapshot — NO device reads (r3's _current_landmarks issued
+        four). anchor_slot feeds the write-back's anchor guard."""
         s = self._snap
         sel = np.nonzero(feat_valid & (s["mu"] > 1e-6))[0]
-        anchors = s["stack_fid"][s["pf_slot"][sel]]
-        return {(int(f), int(a)): (int(sl), float(m))
-                for f, a, sl, m in zip(s["feat_id"][sel].tolist(),
-                                       anchors.tolist(), sel.tolist(),
-                                       s["mu"][sel].tolist())}
+        aslots = s["pf_slot"][sel]
+        anchors = s["stack_fid"][aslots]
+        return {(int(f), int(a)): (int(sl), float(m), int(asl))
+                for f, a, sl, m, asl in zip(s["feat_id"][sel].tolist(),
+                                            anchors.tolist(), sel.tolist(),
+                                            s["mu"][sel].tolist(),
+                                            aslots.tolist())}
 
     # ------------------------------------------------------------------
     # Pipeline advance (called once per Flame.update()).
@@ -425,10 +439,12 @@ class BundleAdjuster:
             else:
                 return  # one solve in flight at a time
         if self._snap is not None and self._snap_dirty \
-                and len(fl._pf_slot_by_id) >= 3:
-            newest = max(fl._pf_slot_by_id.keys())
-            if newest - self._last_solve_pf >= self.params.solve_min_new_pfs:
-                self._stage_solve(fl)
+                and len(fl._pf_slot_by_id) >= 3 \
+                and self._new_pf_count >= self.params.solve_min_new_pfs:
+            # _new_pf_count counts INGESTED poseframes (not frame ids —
+            # a frontend's sparse frame numbering must not inflate the
+            # cadence), and resets only when a solve actually stages.
+            self._stage_solve(fl)
 
     def quiesce(self, fl) -> None:
         """Join and apply any in-flight solve (checkpoint/save path).
@@ -445,8 +461,6 @@ class BundleAdjuster:
 
     def _stage_solve(self, fl, n_fixed: int = 2) -> None:
         p = self.params
-        self._snap_dirty = False
-        self._last_solve_pf = max(fl._pf_slot_by_id.keys())
         live = sorted(fl._pf_slot_by_id.keys())
         window_ids = live[-p.window_size:]
         if len(window_ids) < max(n_fixed + 1, 3):
@@ -473,18 +487,30 @@ class BundleAdjuster:
                                         max_obs=p.max_obs)
         if built is None:
             return
+        # Charge the cadence only for a solve that actually stages —
+        # early returns above leave the pending observations eligible
+        # for the next attempt instead of silently waiting a full extra
+        # cadence period.
+        self._snap_dirty = False
+        self._new_pf_count = 0
         problem, order, keys, n_obs = built
         # Landmark -> CURRENT slot map for the write-back (validated
-        # again on device by feat_id at apply time).
+        # again on device at apply time: feat_id AND anchor slot — a
+        # feature re-anchored between stage and apply keeps its id but
+        # its refined idepth would be expressed in the WRONG anchor
+        # frame, so the anchor slot must still match too).
         lm_slots = np.array([lm_map[k][0] if k in lm_map else -1
                              for k in keys], np.int32)
         lm_ids = np.array([k[0] for k in keys], np.int32)
+        lm_anchor_slots = np.array(
+            [lm_map[k][2] if k in lm_map else -1 for k in keys], np.int32)
         slot_w = np.array([fl._pf_slot_by_id[f] for f in order], np.int32)
         P = len(order)
         L = p.max_landmarks
         M = p.max_obs
         meta = dict(order=order, keys=keys, lm_slots=lm_slots,
-                    lm_ids=lm_ids, P=P, L=L, n_obs=n_obs)
+                    lm_ids=lm_ids, lm_anchor_slots=lm_anchor_slots,
+                    P=P, L=L, n_obs=n_obs)
 
         if self.mesh is not None:
             # Observation-sharded psum'd assembly over the mesh — ALWAYS
@@ -564,15 +590,17 @@ class BundleAdjuster:
                 jnp.asarray(q[sel].astype(np.float32)),
                 jnp.asarray(t[sel].astype(np.float32)))
 
-        # Refined idepths: ONE (L, 3) upload + guarded scatter. Rows are
+        # Refined idepths: ONE (L, 4) upload + guarded scatter. Rows are
         # padded to the FIXED max_landmarks shape (slot -1 = inert) so
         # _apply_idepths compiles once, not per landmark count.
         Lk = meta["lm_slots"].shape[0]
         slots_p = np.full(L, -1, np.int32)
         ids_p = np.full(L, -1, np.int32)
+        aslots_p = np.full(L, -1, np.int32)
         slots_p[:Lk] = meta["lm_slots"]
         ids_p[:Lk] = meta["lm_ids"]
-        trip = np.stack([slots_p, ids_p,
+        aslots_p[:Lk] = meta["lm_anchor_slots"]
+        trip = np.stack([slots_p, ids_p, aslots_p,
                          lm.astype(np.float32).view(np.int32)],
                         axis=1).astype(np.int32)
         fl._feats = _apply_idepths(fl._feats, jnp.asarray(trip))

@@ -457,6 +457,10 @@ class Flame:
                     # Need a current mirror before bootstrap decisions:
                     # consume the newest queued transfer, discard older.
                     pk, pk_frame, pk_meta = self._packed_queue[-1]
+                    if self._ba is not None:
+                        for _pk, _fr, _m in list(self._packed_queue)[:-1]:
+                            self._note_ba_obs_drop(
+                                sum(bool(f) for f in _m[1]))
                     self._packed_queue.clear()
                     self._consume_packed(pk.get(), pk_frame, pk_meta)
                 if self._n_valid == 0:
@@ -527,6 +531,8 @@ class Flame:
                 self._packed_queue.append((_AsyncFetch(packed_dev),
                                            self.num_imgs,
                                            ([frame_id], [is_poseframe])))
+            elif self._ba is not None and is_poseframe:
+                self._note_ba_obs_drop(1)
             # Adopt a finished triangulation (forced when nothing is
             # staged yet — bootstrap — so the first mesh appears asap).
             self._adopt_tri_result(
@@ -744,6 +750,8 @@ class Flame:
                 len(self._packed_queue) < max(int(p.solver.topology_lag), 1):
             self._packed_queue.append((_AsyncFetch(packed_dev),
                                        self.num_imgs, (fids, pf_flags)))
+        elif self._ba is not None and any(pf_flags):
+            self._note_ba_obs_drop(sum(bool(f) for f in pf_flags))
         self._adopt_tri_result(force=bool(p.solver.deterministic))
 
         if self._ba is not None:
@@ -775,6 +783,24 @@ class Flame:
     # ------------------------------------------------------------------
     # Host helpers.
     # ------------------------------------------------------------------
+
+    def _note_ba_obs_drop(self, n_pfs: int):
+        """A dispatch's packed transfer was not staged (queue at
+        topology_lag depth, fetch_stride skip, or a bootstrap clear), so
+        its poseframes' BA observations never reach the store. r3
+        ingested every poseframe's matches with blocking fetches; the
+        async design trades that for fetch-cadence delivery — the loss
+        is rare (stride 1 + the queue only fills when the link is
+        saturated) but must be COUNTED, not silent (no-silent-drops
+        rule), and the bounded window solve tolerates thinned
+        observations the way the mesh tolerates masked-stale topology."""
+        self.stats.add("ba_obs_dropped_pfs", n_pfs)
+        if not getattr(self, "_warned_ba_obs_drop", False):
+            self._warned_ba_obs_drop = True
+            import sys as _sys
+            print("flame_tpu: BA observations dropped for a poseframe "
+                  "(packed transfer not staged; see "
+                  "stats['ba_obs_dropped_pfs'])", file=_sys.stderr)
 
     def _drain_packed_queue(self) -> bool:
         """Consume every packed transfer that has landed (all of them in

@@ -157,10 +157,10 @@ def save(path: str, fl) -> None:
             for k, v in fl._ba._snap.items():
                 arrays[f"ba_snap.{k}"] = v
             header["ba_snap_dirty"] = bool(fl._ba._snap_dirty)
-        # The solve-cadence watermark: without it a resumed run stages
-        # its next solve earlier than the continued one whenever
-        # solve_min_new_pfs > 1 (bit-equal resume would diverge).
-        header["ba_last_solve_pf"] = int(fl._ba._last_solve_pf)
+        # The solve-cadence counter: without it a resumed run stages
+        # its next solve at a different point than the continued one
+        # whenever solve_min_new_pfs > 1 (bit-equal resume diverges).
+        header["ba_new_pf_count"] = int(fl._ba._new_pf_count)
 
     arrays["__header__"] = np.frombuffer(
         json.dumps(header).encode(), dtype=np.uint8)
@@ -305,7 +305,7 @@ def load(path: str, fl) -> None:
             fl._ba._snap = None
             fl._ba._snap_dirty = False
         fl._ba._inflight = None  # quiesced before save
-        fl._ba._last_solve_pf = int(header.get("ba_last_solve_pf", -1))
+        fl._ba._new_pf_count = int(header.get("ba_new_pf_count", 0))
 
     if "feat_valid_np" in data:
         fl._feat_valid_np = np.array(data["feat_valid_np"])

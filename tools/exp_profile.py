@@ -32,7 +32,8 @@ def main():
     import jax.numpy as jnp
     from flame_tpu.core.flame import Flame
     from flame_tpu.geometry import se3, camera
-    from flame_tpu.params import Params, DetectionParams, SolverParams
+    import bench  # THE bench config — a drifting local copy would make
+    # profiles attribute behavior to a posture the bench no longer runs
 
     W, H = 640, 480
     FX = 525.0
@@ -51,20 +52,7 @@ def main():
         return np.clip(tex(X, Y), 0, 255).astype(np.uint8)
 
     do_ba = os.environ.get("PROFILE_BA", "0") != "0"
-    from flame_tpu.params import BAParams
-    params = Params(
-        feature_capacity=4096, edge_capacity=12288, triangle_capacity=8192,
-        poseframe_capacity=16,
-        min_height=-1e6, max_height=1e6,
-        idepth_init=0.05, min_baseline=0.01,
-        detection=DetectionParams(win_size=16),
-        do_ba=do_ba,
-        ba=BAParams(n_gn_iters=3, solve_min_new_pfs=4),
-        solver=SolverParams(
-            max_vertex_degree=20, pallas_reach=3, async_topology=True,
-            topology_lag=2, frame_batch=4, fetch_stride=1, join_age=12,
-            smoother="auto", n_iters_per_frame=40),
-        debug_quiet=True)
+    params = bench.make_params(do_ba)
 
     K = camera.make_k(FX, FX, W / 2, H / 2)
     Kinv = camera.inv_k(K)
