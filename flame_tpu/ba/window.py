@@ -133,8 +133,15 @@ class ObservationStore:
     def build_window(self, frame_ids: List[int],
                      pose_by_id: Dict[int, Tuple[np.ndarray, np.ndarray]],
                      lm_init: Dict[Tuple[int, int], float],
-                     max_landmarks: int, max_obs: int):
+                     max_landmarks: int, max_obs: int,
+                     prior_by_id: Dict[int, Tuple[np.ndarray,
+                                                  np.ndarray]] = None):
         """Assemble a BAProblem over the given keyframe window.
+
+        prior_by_id: optional fid -> (q, t) pose-prior anchors (the
+        INPUT odometry poses); missing fids fall back to pose_by_id.
+        None leaves the problem's prior fields unset (gn_solve then
+        anchors to the current poses, the pre-r4 behavior).
 
         lm_init maps landmark key (feat_id, anchor_id) -> current inverse
         depth; keys absent from lm_init are skipped (the feature died or
@@ -230,9 +237,16 @@ class ObservationStore:
 
         q = np.stack([pose_by_id[f][0] for f in frame_ids]).astype(np.float32)
         t = np.stack([pose_by_id[f][1] for f in frame_ids]).astype(np.float32)
+        pq = pt = None
+        if prior_by_id:
+            pq = np.stack([prior_by_id.get(f, pose_by_id[f])[0]
+                           for f in frame_ids]).astype(np.float32)
+            pt = np.stack([prior_by_id.get(f, pose_by_id[f])[1]
+                           for f in frame_ids]).astype(np.float32)
 
         problem = schur.BAProblem(
-            q=q, t=t, lm_idepth=lm_pad, lm_valid=lm_valid, obs=obs)
+            q=q, t=t, lm_idepth=lm_pad, lm_valid=lm_valid, obs=obs,
+            prior_q=pq, prior_t=pt)
         keys = list(zip((uniq_in_order >> 32).tolist(),
                         (uniq_in_order & 0xFFFFFFFF).tolist()))
         return problem, list(frame_ids), keys, M
@@ -240,12 +254,17 @@ class ObservationStore:
 
 def _pack_problem(problem: schur.BAProblem, slot_w: np.ndarray) -> np.ndarray:
     """Coalesce the whole window problem into ONE i32 upload buffer:
-    [q 4P | t 3P | lm L | lm_valid L | a_idx M | o_idx M | l_idx M |
-    u_ref 2M | u_obs 2M | valid M | slot_w P] (f32 sections bitcast)."""
+    [q 4P | t 3P | prior_q 4P | prior_t 3P | lm L | lm_valid L |
+    a_idx M | o_idx M | l_idx M | u_ref 2M | u_obs 2M | valid M |
+    slot_w P] (f32 sections bitcast)."""
     obs = problem.obs
+    pq = problem.prior_q if problem.prior_q is not None else problem.q
+    pt = problem.prior_t if problem.prior_t is not None else problem.t
     return np.concatenate([
         np.ascontiguousarray(problem.q, np.float32).view(np.int32).ravel(),
         np.ascontiguousarray(problem.t, np.float32).view(np.int32).ravel(),
+        np.ascontiguousarray(pq, np.float32).view(np.int32).ravel(),
+        np.ascontiguousarray(pt, np.float32).view(np.int32).ravel(),
         np.ascontiguousarray(problem.lm_idepth,
                              np.float32).view(np.int32).ravel(),
         np.asarray(problem.lm_valid, np.int32),
@@ -277,6 +296,8 @@ def _solve_packed(p: BAParams, K, Kinv, buf, img_pad, pad: int,
     f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     q = f32(take(4 * P)).reshape(P, 4)
     t = f32(take(3 * P)).reshape(P, 3)
+    prior_q = f32(take(4 * P)).reshape(P, 4)
+    prior_t = f32(take(3 * P)).reshape(P, 3)
     lm = f32(take(L))
     lm_valid = take(L) > 0
     a_idx = take(M)
@@ -291,7 +312,7 @@ def _solve_packed(p: BAParams, K, Kinv, buf, img_pad, pad: int,
                                lm_idx=l_idx, u_ref=u_ref, u_obs=u_obs,
                                valid=valid)
     problem = schur.BAProblem(q=q, t=t, lm_idepth=lm, lm_valid=lm_valid,
-                              obs=obs)
+                              obs=obs, prior_q=prior_q, prior_t=prior_t)
 
     sqrtW = None
     if p.do_rematch:
@@ -370,6 +391,15 @@ class BundleAdjuster:
         self._snap_dirty = False  # new observations since the last solve?
         self._inflight = None  # (fetch, meta) of a staged solve result
         self._new_pf_count = 0  # poseframes ingested since the last solve
+        # fid -> (q, t) INPUT pose: each poseframe's pose from the first
+        # snapshot that contains it — before any BA refinement touched
+        # it. The window solve's pose prior anchors HERE, not to the
+        # current (already-refined) values: anchoring to refined poses
+        # lets the sliding window random-walk away from the odometry
+        # (measured r4: 4 -> 15 mm growing drift over 60 frames on
+        # EXACT input poses), while anchoring to the input bounds the
+        # drift at the prior's uncertainty.
+        self._input_pose_by_id: Dict[int, tuple] = {}
 
     # ------------------------------------------------------------------
     # Snapshot ingestion (called from Flame._consume_packed).
@@ -404,6 +434,16 @@ class BundleAdjuster:
             self._snap_dirty = True
             self._new_pf_count += 1  # a POSEFRAME's obs landed
         self._snap = snap
+        # Record newly-seen poseframes' INPUT poses (a new pf cannot
+        # have been refined yet: solves staged before it existed don't
+        # carry its slot) and drop entries for evicted ones.
+        live = {int(f) for f in snap["stack_fid"].tolist() if f >= 0}
+        for i, f in enumerate(snap["stack_fid"].tolist()):
+            if f >= 0 and int(f) not in self._input_pose_by_id:
+                self._input_pose_by_id[int(f)] = (
+                    snap["stack_q"][i].copy(), snap["stack_t"][i].copy())
+        for f in [f for f in self._input_pose_by_id if f not in live]:
+            del self._input_pose_by_id[f]
 
     def _snapshot_landmarks(self, feat_valid: np.ndarray):
         """(feat_id, anchor_id) -> (slot, idepth, anchor_slot) from the
@@ -484,7 +524,8 @@ class BundleAdjuster:
 
         built = self.store.build_window(window_ids, pose_by_id, lm_init,
                                         max_landmarks=p.max_landmarks,
-                                        max_obs=p.max_obs)
+                                        max_obs=p.max_obs,
+                                        prior_by_id=self._input_pose_by_id)
         if built is None:
             return
         # Charge the cadence only for a solve that actually stages —

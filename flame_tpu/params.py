@@ -201,10 +201,18 @@ class BAParams:
     # that cannot spare that per poseframe raises this — e.g. 4 with
     # window_size=8 still refines every pose twice per window turnover.
     solve_min_new_pfs: int = 1
-    # Quadratic prior anchoring each pose to its input value (px^2 per
-    # (m|rad)^2): BA refines within the external estimator's uncertainty
-    # instead of free-floating on match noise. 0 disables.
-    pose_prior_weight: float = 1e4
+    # Quadratic prior anchoring each pose to its INPUT odometry value
+    # (px^2 per (m|rad)^2): BA refines within the external estimator's
+    # uncertainty instead of free-floating on match noise. The anchors
+    # are the poses each keyframe ENTERED with (ba/window.py records
+    # them from its first snapshot), not the current refined values —
+    # anchoring to refined poses lets the sliding window random-walk.
+    # r4 sweep (60-frame exact-pose damage vs 24-frame noisy-pose ATE):
+    # 1e4 -> err 0.0076 / ATE 6.8 mm; 1e5 -> 0.0015 / 9.2 mm;
+    # 1e6 -> 0.0024 / 11.0 mm. 1e5 bounds the damage good odometry
+    # takes (5x less than 1e4) while keeping a 0.67x ATE improvement
+    # under 15 mm input noise. 0 disables.
+    pose_prior_weight: float = 1e5
     # Unconstrained 2-D re-matching of observations before each solve
     # (ba/rematch.py): epipolar-constrained front-end matches have zero
     # residual perpendicular to the (noisy-pose) epiline by construction,

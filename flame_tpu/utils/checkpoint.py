@@ -161,6 +161,13 @@ def save(path: str, fl) -> None:
         # its next solve at a different point than the continued one
         # whenever solve_min_new_pfs > 1 (bit-equal resume diverges).
         header["ba_new_pf_count"] = int(fl._ba._new_pf_count)
+        # Input-pose anchors (the pose-prior reference; ba/window.py).
+        ip = fl._ba._input_pose_by_id
+        if ip:
+            fids = sorted(ip.keys())
+            arrays["ba_input.fids"] = np.array(fids, np.int64)
+            arrays["ba_input.q"] = np.stack([ip[f][0] for f in fids])
+            arrays["ba_input.t"] = np.stack([ip[f][1] for f in fids])
 
     arrays["__header__"] = np.frombuffer(
         json.dumps(header).encode(), dtype=np.uint8)
@@ -306,6 +313,12 @@ def load(path: str, fl) -> None:
             fl._ba._snap_dirty = False
         fl._ba._inflight = None  # quiesced before save
         fl._ba._new_pf_count = int(header.get("ba_new_pf_count", 0))
+        fl._ba._input_pose_by_id = {}
+        if "ba_input.fids" in data:
+            for f, q, t in zip(data["ba_input.fids"].tolist(),
+                               data["ba_input.q"], data["ba_input.t"]):
+                fl._ba._input_pose_by_id[int(f)] = (np.array(q),
+                                                    np.array(t))
 
     if "feat_valid_np" in data:
         fl._feat_valid_np = np.array(data["feat_valid_np"])
