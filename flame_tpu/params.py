@@ -139,10 +139,12 @@ class SolverParams:
     # max(device_work, fetch_latency / join_age). In-flight transfer
     # DEPTH stays capped by topology_lag (the tunnel collapses beyond 2);
     # a join age above the depth just tolerates more topology staleness.
-    # Under frame_batch >= 2 on a high-latency link, prefer ~3x the
+    # Under frame_batch >= 2 on a high-latency link, prefer ~3-6x the
     # batch size: a join age of one batch forces a fetch-latency block
-    # EVERY batch (measured 2x throughput loss in degraded weather,
-    # NOTES.md r3 join_age sweep).
+    # EVERY batch (measured 2x throughput loss in degraded weather, r3
+    # sweep), and the r4 A/B measured a further +15-20 fps going from
+    # 3x to 6x in degraded weather with identical quality — fewer
+    # blocked joins also congest the shared link less (NOTES.md).
     join_age: int = 3
     # Backstop: block for the head transfer when the newest staged
     # topology is older than this many frames.
