@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from flame_tpu.ops.gradients import central_gradient
+from flame_tpu.ops import interp
 
 
 class Frame(NamedTuple):
@@ -63,6 +64,16 @@ class FrameStack(NamedTuple):
     q: jax.Array  # (F, 4)
     t: jax.Array  # (F, 3)
     img_pad: jax.Array  # (F, H+2p, W+2p)
+    # Persistent packed-corner table of img_pad, (F*(H+2p)*(W+2p), 4)
+    # bf16 — maintained at insert time so the track loop's ref-patch
+    # sampling is one row gather instead of a 4-corner element gather
+    # (212 vs 584 us/frame measured; see interp.bilinear_stack_packed).
+    # bf16 is exact for u8-sourced images. Kept FLAT (frame-major rows)
+    # rather than (F, T, 4): a reshape between the scan carry and the
+    # gather made XLA insert per-iteration layout-conversion loops worth
+    # ~4.7 ms/frame in the r4c profile. INVARIANT: rows [i*T, (i+1)*T)
+    # == pack_image(img_pad[i]) whenever valid[i].
+    img_pack: jax.Array
     gradx: jax.Array  # (F, H, W)
     grady: jax.Array  # (F, H, W)
     idepthmap: jax.Array  # (F, H, W) cached dense idepth (NaN = none)
@@ -76,6 +87,8 @@ def empty_stack(capacity: int, height: int, width: int, pad: int) -> FrameStack:
         q=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (F, 1)),
         t=jnp.zeros((F, 3), jnp.float32),
         img_pad=jnp.zeros((F, height + 2 * pad, width + 2 * pad), jnp.float32),
+        img_pack=jnp.zeros(
+            (F * (height + 2 * pad) * (width + 2 * pad), 4), jnp.bfloat16),
         gradx=jnp.zeros((F, height, width), jnp.float32),
         grady=jnp.zeros((F, height, width), jnp.float32),
         idepthmap=jnp.full((F, height, width), jnp.nan, jnp.float32),
@@ -98,6 +111,9 @@ def insert(stack: FrameStack, slot, frame: Frame) -> FrameStack:
         q=stack.q.at[slot].set(frame.q),
         t=stack.t.at[slot].set(frame.t),
         img_pad=stack.img_pad.at[slot].set(frame.img_pad),
+        img_pack=jax.lax.dynamic_update_slice_in_dim(
+            stack.img_pack, interp.pack_image(frame.img_pad),
+            slot * frame.img_pad.size, 0),
         gradx=stack.gradx.at[slot].set(frame.gradx),
         grady=stack.grady.at[slot].set(frame.grady),
         idepthmap=stack.idepthmap.at[slot].set(jnp.full((H, W), jnp.nan)),
@@ -136,6 +152,20 @@ def insert_masked(stack: FrameStack, slot, frame: Frame, on) -> FrameStack:
         q=stack.q.at[slot].set(jnp.where(on, frame.q, stack.q[slot])),
         t=stack.t.at[slot].set(jnp.where(on, frame.t, stack.t[slot])),
         img_pad=_masked_row_update(stack.img_pad, slot, frame.img_pad, on),
+        # The pack build (~140 us) goes inside a cond so non-insert scan
+        # iterations skip the compute, not just the write: unlike the
+        # stack-carry cond that _masked_row_update replaced, the branch
+        # output here is one frame's row block, so no carry-copy
+        # pathology.
+        img_pack=jax.lax.dynamic_update_slice_in_dim(
+            stack.img_pack,
+            jax.lax.cond(
+                on,
+                lambda: interp.pack_image(frame.img_pad),
+                lambda: jax.lax.dynamic_slice_in_dim(
+                    stack.img_pack, slot * frame.img_pad.size,
+                    frame.img_pad.size, 0)),
+            slot * frame.img_pad.size, 0),
         gradx=_masked_row_update(stack.gradx, slot, frame.gradx, on),
         grady=_masked_row_update(stack.grady, slot, frame.grady, on),
         idepthmap=_masked_row_update(

@@ -188,7 +188,8 @@ def track_project_sync(params: Params, K, Kinv, stack: FrameStack,
     off = jnp.float32(pad)
     sres = idfilter.search_stacked(
         fp, geos, rescale, stack.img_pad, feats.pf_slot, fnew.img_pad,
-        feats.xy, feats.xy + off, reg.start + off, reg.end + off, n_steps)
+        feats.xy, feats.xy + off, reg.start + off, reg.end + off, n_steps,
+        imgs_pack=stack.img_pack)
     flow = sres.u_cmp - off
     search_ok = attempt & (sres.status == idfilter.SUCCESS)
 

@@ -35,11 +35,20 @@ def _weights4(dx, dy):
                             (1 - dx) * dy, dx * dy], axis=-1)
 
 
-def bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+def bilinear(img: jax.Array, x: jax.Array, y: jax.Array,
+             pack_dtype=None) -> jax.Array:
     """Sample img (H, W) at float positions (x, y) of any batch shape.
 
     Out-of-range positions are clamped to the valid interior (the reference
     instead asserts; clamping keeps the op total for masked lanes).
+
+    pack_dtype: optional storage dtype for the packed-corner table (large
+    queries only). jnp.bfloat16 halves the gathered row bytes — measured
+    671 -> ~400 us for the line-stereo [N, S] gather on v5e — and is EXACT
+    for integer-valued images (bf16's 8 mantissa bits represent 0..255
+    exactly; the reference's images are u8, image_utils.h:231-272), so the
+    interpolated values are bit-identical for u8 sources. Non-integer
+    float images quantize at ~2^-8 relative.
     """
     H, W = img.shape
     x = jnp.clip(x, 0.0, W - 1.001)
@@ -57,7 +66,9 @@ def bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
         # (H*W, 4) table build is O(image), so it only pays when the
         # sample count is within ~an order of the pixel count (the
         # line-stereo [N, S] sampling).
-        v = _pack4(flat, W)[idx00]  # (..., 4) — one row gather
+        if pack_dtype is not None:
+            flat = flat.astype(pack_dtype)
+        v = _pack4(flat, W)[idx00].astype(jnp.float32)
     else:
         # Small query (e.g. one sample per feature, 4096 of 307k
         # pixels): gather the 4 corners directly. The r4 device profile
@@ -120,6 +131,48 @@ def bilinear_stack(imgs: jax.Array, frame_idx: jax.Array, x: jax.Array,
         idx = jnp.stack([idx00, idx00 + 1, idx00 + W, idx00 + W + 1],
                         axis=-1)
         v = flat[idx]
+    return jnp.sum(v * _weights4(dx, dy), axis=-1)
+
+
+def pack_image(img: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """(H, W) -> (H*W, 4) packed-corner rows for bilinear_stack_packed.
+
+    bf16 storage is exact for integer-valued (u8-sourced) images — see
+    bilinear(); it also halves the gathered bytes and the table footprint.
+    Built once per frame at poseframe-insert time (frame.insert*), NOT
+    per sample query: the r4 profile measured in-scan full-image table
+    rebuilds at ~2 ms/frame, which is why bilinear_stack gates on query
+    size — the persistent per-slot table removes the rebuild entirely.
+    """
+    return _pack4(img.reshape(-1).astype(jnp.float32), img.shape[1]) \
+        .astype(dtype)
+
+
+def bilinear_stack_packed(img_pack: jax.Array, frame_idx: jax.Array,
+                          x: jax.Array, y: jax.Array,
+                          height: int, width: int) -> jax.Array:
+    """bilinear_stack() against a persistent packed-corner table.
+
+    img_pack: (F*height*width, 4) frame-major pack_image() rows maintained
+    alongside the image stack (frame.FrameStack.img_pack — flat on
+    purpose; reshaping a (F, T, 4) carry for this gather made XLA insert
+    per-iteration layout-conversion loops). One row gather per sample —
+    measured 212 us for 20.5k samples from the 16-slot VGA table on v5e
+    vs 584 us for the 4-corner element gather it replaces (the ref-patch
+    sampling of the track hot loop, fusion.1001 in the r4b device
+    profile).
+    """
+    F = img_pack.shape[0] // (height * width)
+    x = jnp.clip(x, 0.0, width - 1.001)
+    y = jnp.clip(y, 0.0, height - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = (x - x0)[..., None]
+    dy = (y - y0)[..., None]
+    fidx = jnp.clip(frame_idx, 0, F - 1).astype(jnp.int32)
+    idx00 = fidx * (height * width) + y0.astype(jnp.int32) * width \
+        + x0.astype(jnp.int32)
+    v = img_pack[idx00].astype(jnp.float32)
     return jnp.sum(v * _weights4(dx, dy), axis=-1)
 
 

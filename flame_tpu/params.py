@@ -27,6 +27,13 @@ class LineStereoParams:
     do_subpixel: bool = True  # Subpixel refinement via error-gradient zero crossing.
     sample_dist: float = 1.0  # Distance in pixels between samples.
     second_best_factor: float = 1.5  # best*factor must beat second best.
+    # Store the [N, S] sample gather's packed-corner table in bf16: ~40%
+    # faster on v5e (it is the largest single device cost of the track
+    # loop) and EXACT for u8-sourced images — bf16 represents integers
+    # 0..255 exactly, and interpolation weights stay f32, so results are
+    # bit-identical to f32 tables for the reference's image domain.
+    # Disable for float imagery with structure below ~2^-8 relative.
+    table_bf16: bool = True
 
 
 @dataclass(frozen=True)

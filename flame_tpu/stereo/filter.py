@@ -178,17 +178,29 @@ def search_stacked(params: FilterParams, geo_batch,
                    img_cmp: jax.Array,
                    u_ref: jax.Array, u_ref_padded: jax.Array,
                    u_start: jax.Array, u_end: jax.Array,
-                   n_steps: int) -> SearchResult:
+                   n_steps: int, imgs_pack: jax.Array = None) -> SearchResult:
     """search() where each feature samples its own anchor poseframe from an
     image stack (F, H, W) and has its own epipolar geometry (a batch of
     EpiGeo with leading dim N). Used by the full pipeline where features
-    are anchored in different poseframes (reference flame.cc:1307-1332)."""
+    are anchored in different poseframes (reference flame.cc:1307-1332).
+
+    imgs_pack: optional persistent packed-corner table of imgs_ref
+    (FrameStack.img_pack). When given, the 5-tap ref-patch sampling is one
+    row gather against it instead of a 4-corner element gather into the
+    20 MB stack — the second-largest device cost of the track loop in the
+    r4b profile (584 -> ~212 us/frame measured on v5e).
+    """
     epi_ref = jax.vmap(epipolar.reference_epiline)(
         geo_batch, u_ref)  # (N, 2)
     ppos = _patch_positions(epi_ref, rescale_factor, u_ref_padded)
     fidx = ref_frame_idx[:, None].repeat(5, axis=1)
-    ref_patch = interp.bilinear_stack(imgs_ref, fidx,
-                                      ppos[..., 0], ppos[..., 1])
+    if imgs_pack is not None:
+        Hp, Wp = imgs_ref.shape[1:]
+        ref_patch = interp.bilinear_stack_packed(
+            imgs_pack, fidx, ppos[..., 0], ppos[..., 1], Hp, Wp)
+    else:
+        ref_patch = interp.bilinear_stack(imgs_ref, fidx,
+                                          ppos[..., 0], ppos[..., 1])
     return _gate_and_match(params, ref_patch, img_cmp, u_start, u_end,
                            rescale_factor, n_steps)
 

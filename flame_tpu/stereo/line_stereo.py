@@ -84,7 +84,9 @@ def match(ref_patch: jax.Array, img_cmp: jax.Array, start: jax.Array,
     # Gather all samples: positions m in [-2, n_steps+1] along the line.
     ms = jnp.arange(-2, n_steps + 2, dtype=jnp.float32)  # (M,)
     spos = start[:, None, :] + ms[None, :, None] * inc[:, None, :]  # (N, M, 2)
-    S = interp.bilinear(img_cmp, spos[..., 0], spos[..., 1])  # (N, M)
+    S = interp.bilinear(
+        img_cmp, spos[..., 0], spos[..., 1],
+        pack_dtype=jnp.bfloat16 if params.table_bf16 else None)  # (N, M)
 
     # Residuals per step/tap: E[k, j] = S[k + j] - ref[j] using the sample
     # window S[k-2 .. k+2] (offset by +2 in S indexing).

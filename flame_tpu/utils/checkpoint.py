@@ -33,6 +33,11 @@ def _flatten(prefix: str, tree) -> Dict[str, np.ndarray]:
         for k, v in tree._asdict().items():
             if v is None:
                 continue
+            if k == "img_pack":
+                # Derived state (FrameStack invariant: img_pack[i] ==
+                # pack_image(img_pad[i])); rebuilt on load. Also npz
+                # cannot round-trip bf16 (reloads as void16).
+                continue
             out.update(_flatten(f"{prefix}.{k}", v))
     else:
         out[prefix] = np.asarray(tree)
@@ -207,6 +212,10 @@ def load(path: str, fl) -> None:
             key = f"{prefix}.{k}"
             if v is None:
                 kwargs[k] = None
+            elif k == "img_pack":
+                # Derived from img_pad (not persisted); rebuilt below
+                # once the restored img_pad rows are in place.
+                kwargs[k] = v
             elif hasattr(v, "_asdict"):
                 kwargs[k] = unflat(key, v)
             else:
@@ -220,6 +229,10 @@ def load(path: str, fl) -> None:
     fl._curr = unflat("curr", fl._curr)
     fl._graph = unflat("graph", fl._graph)
     fl._stack = unflat("stack", fl._stack)
+    from flame_tpu.ops import interp as _interp
+    fl._stack = fl._stack._replace(img_pack=put(
+        jax.vmap(_interp.pack_image)(fl._stack.img_pad).reshape(-1, 4),
+        fl._stack.img_pack))
     fl._tris = put(data["tris"], fl._tris)
     fl._tri_mask = put(data["tri_mask"], fl._tri_mask)
     fl._tri_validity = put(data["tri_validity"], fl._tri_validity)

@@ -50,6 +50,62 @@ def test_bilinear_stack_selects_frame(rng):
         np.testing.assert_allclose(got[f], want, rtol=1e-6)
 
 
+def test_bilinear_stack_packed_matches_unpacked(rng):
+    """The persistent packed-corner table path must agree exactly with
+    bilinear_stack for integer-valued (u8-sourced) images — bf16 corner
+    storage is exact for 0..255 and the weights stay f32."""
+    imgs = rng.integers(0, 256, size=(3, 16, 20)).astype(np.float32)
+    pack = jnp.concatenate(
+        [interp.pack_image(jnp.asarray(f)) for f in imgs], axis=0)
+    x = jnp.asarray(rng.uniform(0, 18.9, size=64).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0, 14.9, size=64).astype(np.float32))
+    fidx = jnp.asarray(rng.integers(0, 3, size=64), jnp.int32)
+    got = np.asarray(interp.bilinear_stack_packed(pack, fidx, x, y, 16, 20))
+    want = np.asarray(interp.bilinear_stack(jnp.asarray(imgs), fidx, x, y))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bilinear_bf16_table_exact_for_u8(rng):
+    """bilinear(pack_dtype=bf16) is bit-identical to f32 tables on
+    integer-valued images (the LineStereoParams.table_bf16 guarantee)."""
+    img = jnp.asarray(rng.integers(0, 256, size=(24, 24)).astype(np.float32))
+    # Large query so both calls take the packed-table branch.
+    x = jnp.asarray(rng.uniform(0, 22.9, size=(24 * 24,)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0, 22.9, size=(24 * 24,)).astype(np.float32))
+    a = np.asarray(interp.bilinear(img, x, y, pack_dtype=jnp.bfloat16))
+    b = np.asarray(interp.bilinear(img, x, y))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_stack_insert_maintains_img_pack(rng):
+    """frame.insert / insert_masked keep the FrameStack img_pack invariant:
+    rows [slot*T, (slot+1)*T) == pack_image(img_pad[slot]); a masked-off
+    insert leaves the table untouched."""
+    from flame_tpu.core import frame as frame_mod
+    H, W, pad = 12, 16, 2
+    stack = frame_mod.empty_stack(3, H, W, pad)
+    img = rng.integers(0, 256, size=(H, W)).astype(np.float32)
+    q = jnp.asarray([1.0, 0, 0, 0])
+    t = jnp.zeros(3)
+    fr = frame_mod.create(7, q, t, jnp.asarray(img), pad)
+    T = (H + 2 * pad) * (W + 2 * pad)
+
+    stack = frame_mod.insert(stack, 1, fr)
+    want = np.asarray(interp.pack_image(fr.img_pad))
+    np.testing.assert_array_equal(
+        np.asarray(stack.img_pack[T:2 * T]), want)
+
+    img2 = rng.integers(0, 256, size=(H, W)).astype(np.float32)
+    fr2 = frame_mod.create(8, q, t, jnp.asarray(img2), pad)
+    off = frame_mod.insert_masked(stack, 2, fr2, jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(off.img_pack),
+                                  np.asarray(stack.img_pack))
+    on = frame_mod.insert_masked(stack, 2, fr2, jnp.asarray(True))
+    np.testing.assert_array_equal(
+        np.asarray(on.img_pack[2 * T:]),
+        np.asarray(interp.pack_image(fr2.img_pad)))
+
+
 def test_nearest_rounds_half_up(rng):
     img = jnp.arange(25.0).reshape(5, 5)
     got = np.asarray(interp.nearest(img, jnp.asarray([1.5, 1.49]),
