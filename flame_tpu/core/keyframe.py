@@ -7,10 +7,15 @@ hard cutoff), view-frustum overlap via convex polygon intersection
 (Sutherland-Hodgman replaces Boost.Geometry), and a disparity score
 comparing the min-depth test-point disparity to a target maximum.
 
-Host-side numpy: runs once per poseframe over <= photo_error_num_pfs
-candidates, far off the hot path (reference flame.cc:775-820).
+ONE implementation (score_jax, pure JAX): the device pipeline vmaps it
+inside the detection dispatch (best_comparison_pose), and the host
+surface — score() for _want_poseframe and the API-parity
+KeyframeSelector.select() — is a thin wrapper running the same function
+on the CPU backend, once per poseframe and far off the hot path
+(reference flame.cc:775-820).
 """
 
+import functools
 import math
 
 import numpy as np
@@ -18,74 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from flame_tpu.geometry import se3
-
-
-def _clip_polygon(subject, clip):
-    """Sutherland-Hodgman: clip convex-ish subject polygon by convex clip
-    polygon (both (N, 2) CCW or CW consistently). Returns (M, 2)."""
-    def inside(p, a, b):
-        return ((b[0] - a[0]) * (p[1] - a[1])
-                - (b[1] - a[1]) * (p[0] - a[0])) >= 0
-
-    def intersect(p, q, a, b):
-        dp = q - p
-        dc = b - a
-        denom = dp[0] * dc[1] - dp[1] * dc[0]
-        if abs(denom) < 1e-12:
-            return q
-        tnum = (a[0] - p[0]) * dc[1] - (a[1] - p[1]) * dc[0]
-        tt = tnum / denom
-        return p + tt * dp
-
-    out = list(subject)
-    n = len(clip)
-    for i in range(n):
-        a, b = clip[i], clip[(i + 1) % n]
-        if not out:
-            return np.zeros((0, 2))
-        inp = out
-        out = []
-        s = inp[-1]
-        for p in inp:
-            if inside(p, a, b):
-                if not inside(s, a, b):
-                    out.append(intersect(s, p, a, b))
-                out.append(p)
-            elif inside(s, a, b):
-                out.append(intersect(s, p, a, b))
-            s = p
-    return np.array(out) if out else np.zeros((0, 2))
-
-
-def _poly_area(poly) -> float:
-    if len(poly) < 3:
-        return 0.0
-    x, y = poly[:, 0], poly[:, 1]
-    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
-
-
-def _is_convex(poly) -> bool:
-    n = len(poly)
-    if n < 3:
-        return False
-    sign = 0
-    for i in range(n):
-        a, b, c = poly[i], poly[(i + 1) % n], poly[(i + 2) % n]
-        cr = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
-        if abs(cr) < 1e-12:
-            continue
-        s = 1 if cr > 0 else -1
-        if sign == 0:
-            sign = s
-        elif s != sign:
-            return False
-    return True
-
-
-def _ensure_ccw(poly):
-    x, y = poly[:, 0], poly[:, 1]
-    signed = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
-    return poly if signed >= 0 else poly[::-1]
 
 
 class KeyframeSelector:
@@ -358,6 +295,18 @@ def best_comparison_pose(width: int, height: int, K, Kinv,
     return stack_q[best], stack_t[best], ok
 
 
+_score_cpu_cache = {}
+
+
+def _score_cpu(width: int, height: int):
+    """CPU-jitted score_jax, cached per image size (host callers)."""
+    key = (width, height)
+    if key not in _score_cpu_cache:
+        _score_cpu_cache[key] = jax.jit(
+            functools.partial(score_jax, width, height))
+    return _score_cpu_cache[key]
+
+
 def score(width: int, height: int, K: np.ndarray, Kinv: np.ndarray,
           q_new_to_ref: np.ndarray, t_new_to_ref: np.ndarray,
           min_depth: float = 1.0, max_depth: float = 50.0,
@@ -367,63 +316,21 @@ def score(width: int, height: int, K: np.ndarray, Kinv: np.ndarray,
     q_new_to_ref (wxyz) / t_new_to_ref: transform taking new-frame
     coordinates into the candidate's frame. Higher is better;
     -inf (float lowest) for hard rejections.
+
+    Host wrapper over the single JAX implementation (score_jax), run on
+    the host CPU backend — the previous separate f64 numpy implementation
+    was a drift risk the r3 review flagged (the two were parity-tested to
+    2e-3; now they cannot diverge). Host callers (_want_poseframe once per
+    frame, the API-parity KeyframeSelector.select) are far off the hot
+    path; one cached CPU-jit dispatch is ~50 us.
     """
-    K = np.asarray(K, np.float64)
-    Kinv = np.asarray(Kinv, np.float64)
-    lowest = -np.finfo(np.float32).max
-
-    # --- Orientation score (60 deg hard cutoff). ---
-    w = float(np.clip(abs(q_new_to_ref[0]), 0.0, 1.0))
-    angle = 2.0 * math.acos(w)
-    s_orient = 0.5 * (math.cos(angle) + 1.0)
-    if s_orient < 0.5 * (math.cos(math.radians(60.0)) + 1.0):
-        return lowest
-
-    # Rotation matrix from quaternion.
-    qw, qx, qy, qz = q_new_to_ref
-    R = np.array([
-        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
-         2 * (qx * qz + qw * qy)],
-        [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
-         2 * (qy * qz - qw * qx)],
-        [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
-         1 - 2 * (qx * qx + qy * qy)]])
-    t = np.asarray(t_new_to_ref, np.float64)
-
-    # --- Overlap score: project new-image corners at max_depth into ref. ---
-    corners = np.array([[0.0, 0.0, 1.0], [0.0, height - 1, 1.0],
-                        [width - 1, height - 1, 1.0], [width - 1, 0.0, 1.0]])
-    new_poly = corners[:, :2]
-    ref_pts = []
-    for c in corners:
-        p = K @ (R @ (max_depth * (Kinv @ c)) + t)
-        if p[2] <= 0:
-            return lowest
-        ref_pts.append(p[:2] / p[2])
-    ref_poly = np.array(ref_pts)
-
-    if not _is_convex(ref_poly):
-        # Reference bails on self-intersecting projections
-        # (keyframe_selector.cc:194-199).
-        return lowest
-
-    inter = _clip_polygon(_ensure_ccw(ref_poly), _ensure_ccw(new_poly))
-    area = _poly_area(inter)
-    if area <= 0:
-        return lowest
-    s_overlap = area / ((width - 1) * (height - 1))
-
-    # --- Disparity score: test point at min vs infinite depth. ---
-    u_test = np.array([width / 4.0, height / 4.0, 1.0])
-    p_inf = K @ (R @ (Kinv @ u_test))
-    if abs(p_inf[2]) < 1e-12:
-        return lowest
-    p_inf = p_inf[:2] / p_inf[2]
-    p_min = K @ (R @ (min_depth * (Kinv @ u_test)) + t)
-    if abs(p_min[2]) < 1e-12:
-        return lowest
-    p_min = p_min[:2] / p_min[2]
-    disparity = float(np.linalg.norm(p_min - p_inf))
-    s_disparity = -abs(1.0 - disparity / max_disparity)
-
-    return s_orient + s_overlap + s_disparity
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        s = float(_score_cpu(width, height)(
+            jnp.asarray(K, jnp.float32), jnp.asarray(Kinv, jnp.float32),
+            jnp.asarray(q_new_to_ref, jnp.float32),
+            jnp.asarray(t_new_to_ref, jnp.float32),
+            min_depth, max_depth, max_disparity))
+    # score_jax's sentinel is float32 lowest; callers' hard-rejection
+    # convention compares against -float32max / 2 either way.
+    return s

@@ -33,6 +33,10 @@ def _rand_pose(rng, t_scale=0.5, angle_scale=0.3):
 
 
 def test_score_jax_matches_host(kk):
+    """Host score() is now a thin wrapper over score_jax (the r3 review
+    flagged the former separate f64 implementation as drift risk), so
+    wrapper-vs-jax agreement is exact by construction; this still checks
+    the wrapper plumbing (dtype conversion, CPU placement, sentinel)."""
     K, Kinv = kk
     rng = np.random.default_rng(7)
     n_checked = 0
@@ -46,6 +50,26 @@ def test_score_jax_matches_host(kk):
             assert s_dev == pytest.approx(s_host, abs=2e-3), (q, t)
             n_checked += 1
     assert n_checked >= 10  # the sampler must produce plenty of live scores
+
+
+def test_score_regression_values():
+    """Pin score() against values computed by the retired independent
+    f64 numpy implementation (captured before its removal) — guards the
+    shared score_jax formulation against silent drift at VGA geometry."""
+    K = np.asarray(camera.make_k(525.0, 525.0, 320.0, 240.0), np.float64)
+    Kinv = np.linalg.inv(K)
+    cases = [
+        (np.array([1.0, 0, 0, 0]), np.array([0.5, 0, 0]), 0.36678404),
+        (np.array([1.0, 0, 0, 0]), np.array([0.05, 0, 0]), 1.26167841),
+        (np.array([0.9961947, 0, 0.08715574, 0]), np.array([0.3, 0, 0]),
+         1.27437774),  # 10 deg yaw
+        (np.array([0.9848078, 0.17364818, 0, 0]), np.array([0.0, 0.2, 0]),
+         1.32979037),  # 20 deg pitch
+        (np.array([1.0, 0, 0, 0]), np.array([0.0, 0.0, -0.5]), 0.99999987),
+    ]
+    for q, t, want in cases:
+        got = keyframe.score(640, 480, K, Kinv, q, t)
+        assert got == pytest.approx(want, abs=2e-3), (q, t)
 
 
 def test_score_jax_rejects_large_rotation(kk):
