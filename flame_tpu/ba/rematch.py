@@ -35,7 +35,7 @@ def rematch_observations(K, Kinv, imgs_pad, pad: int, qw, tw,
                          u_ref, u_obs, lm_idx, lm_idepth, valid,
                          radius: int = 3, hp: int = 2,
                          max_cost: float = 6500.0,
-                         min_eig: float = 625.0):
+                         min_eig: float = 625.0, img_pack=None):
     """Returns (u_obs_refined (M, 2), refined (M,) bool).
 
     qw/tw: (P, 4)/(P, 3) window poses (camera-to-world).
@@ -43,6 +43,9 @@ def rematch_observations(K, Kinv, imgs_pad, pad: int, qw, tw,
     anchor_slot/obs_slot: (M,) poseframe-stack slots for image sampling.
     u_ref/u_obs: (M, 2) unpadded pixels. lm_idepth: (L,) anchor-frame
     inverse depths; lm_idx: (M,) landmark of each observation.
+    img_pack: optional FrameStack.img_pack persistent packed-corner
+    table; when given, the ~500k window samples are row gathers against
+    it instead of rebuilding a full-stack packed table per solve.
     """
     M = u_ref.shape[0]
     Hp, Wp = imgs_pad.shape[1:]
@@ -66,8 +69,11 @@ def rematch_observations(K, Kinv, imgs_pad, pad: int, qw, tw,
     fobs = jnp.broadcast_to(obs_slot[:, None, None], (M, Wn, Wn))
     # packed=True: ~500k one-off samples from a static stack — the
     # 4-per-sample direct gather measured 22 ms/solve on v5e (r4).
-    win = interp.bilinear_stack(imgs_pad, fobs, wx, wy,
-                                packed=True)  # (M, Wn, Wn)
+    if img_pack is not None:
+        win = interp.bilinear_stack_packed(img_pack, fobs, wx, wy, Hp, Wp)
+    else:
+        win = interp.bilinear_stack(imgs_pad, fobs, wx, wy,
+                                    packed=True)  # (M, Wn, Wn)
 
     # Anchor patch at u_ref.
     Pn = 2 * hp + 1
@@ -75,8 +81,11 @@ def rematch_observations(K, Kinv, imgs_pad, pad: int, qw, tw,
     px = u_ref[:, 0, None, None] + poffs[None, None, :] + pad
     py = u_ref[:, 1, None, None] + poffs[None, :, None] + pad
     fanc = jnp.broadcast_to(anchor_slot[:, None, None], (M, Pn, Pn))
-    patch = interp.bilinear_stack(imgs_pad, fanc, px, py,
-                                  packed=True)  # (M, Pn, Pn)
+    if img_pack is not None:
+        patch = interp.bilinear_stack_packed(img_pack, fanc, px, py, Hp, Wp)
+    else:
+        patch = interp.bilinear_stack(imgs_pad, fanc, px, py,
+                                      packed=True)  # (M, Pn, Pn)
 
     # SSD field over candidate centers: costs[(cy, cx)] =
     # sum_patch (win[cy+py, cx+px] - patch[py, px])^2, cy/cx in [0, 2r].
@@ -141,7 +150,7 @@ def rematch_observations(K, Kinv, imgs_pad, pad: int, qw, tw,
 
 @functools.partial(jax.jit, static_argnames=("hp", "pad"))
 def observation_weights(imgs_pad, pad: int, anchor_slot, u_ref,
-                        hp: int = 2, eps: float = 1e-3):
+                        hp: int = 2, eps: float = 1e-3, img_pack=None):
     """Per-observation 2x2 residual whitening from the anchor patch's
     gradient structure tensor, sqrtW (M, 2, 2) with W = G / lambda_max.
 
@@ -159,7 +168,11 @@ def observation_weights(imgs_pad, pad: int, anchor_slot, u_ref,
     px = u_ref[:, 0, None, None] + poffs[None, None, :] + pad
     py = u_ref[:, 1, None, None] + poffs[None, :, None] + pad
     fanc = jnp.broadcast_to(anchor_slot[:, None, None], (M, Pn, Pn))
-    patch = interp.bilinear_stack(imgs_pad, fanc, px, py, packed=True)
+    if img_pack is not None:
+        Hp, Wp = imgs_pad.shape[1:]
+        patch = interp.bilinear_stack_packed(img_pack, fanc, px, py, Hp, Wp)
+    else:
+        patch = interp.bilinear_stack(imgs_pad, fanc, px, py, packed=True)
 
     gx = 0.5 * (patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2])
     gy = 0.5 * (patch[:, 2:, 1:-1] - patch[:, :-2, 1:-1])

@@ -279,7 +279,7 @@ def _pack_problem(problem: schur.BAProblem, slot_w: np.ndarray) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("p", "pad", "n_fixed",
                                              "P", "L", "M"))
-def _solve_packed(p: BAParams, K, Kinv, buf, img_pad, pad: int,
+def _solve_packed(p: BAParams, K, Kinv, buf, img_pad, img_pack, pad: int,
                   n_fixed: int, P: int, L: int, M: int):
     """Decode the coalesced problem upload, optionally 2-D-rematch and
     weight, run the Schur Gauss-Newton window solve, and return ONE flat
@@ -321,12 +321,12 @@ def _solve_packed(p: BAParams, K, Kinv, buf, img_pad, pad: int,
             K, Kinv, img_pad, pad, q, t, a_idx, o_idx,
             slot_w[a_idx], slot_w[o_idx], u_ref, u_obs, l_idx, lm,
             valid, radius=p.rematch_radius, max_cost=p.rematch_max_cost,
-            min_eig=p.rematch_min_eig)
+            min_eig=p.rematch_min_eig, img_pack=img_pack)
         problem = problem._replace(obs=obs._replace(u_obs=u_obs2))
     if p.aniso_weights:
         from flame_tpu.ba import rematch
         sqrtW = rematch.observation_weights(img_pad, pad, slot_w[a_idx],
-                                            u_ref)
+                                            u_ref, img_pack=img_pack)
 
     qf, tf, lmf, cost = schur.solve_window.__wrapped__(
         p, K, Kinv, problem, n_fixed=n_fixed, sqrtW=sqrtW)
@@ -574,13 +574,14 @@ class BundleAdjuster:
                     sw[obs.anchor_idx], sw[obs.obs_idx],
                     obs.u_ref, obs.u_obs, obs.lm_idx, prob_dev.lm_idepth,
                     obs.valid, radius=p.rematch_radius,
-                    max_cost=p.rematch_max_cost, min_eig=p.rematch_min_eig)
+                    max_cost=p.rematch_max_cost, min_eig=p.rematch_min_eig,
+                    img_pack=fl._stack.img_pack)
                 prob_dev = prob_dev._replace(
                     obs=obs._replace(u_obs=u_obs2))
             if p.aniso_weights:
                 sqrtW = rematch.observation_weights(
                     fl._stack.img_pad, fl.params.pad, sw[obs.anchor_idx],
-                    obs.u_ref)
+                    obs.u_ref, img_pack=fl._stack.img_pack)
             q, t, lm, cost = distributed_ba.solve_window_sharded(
                 p, self.K, self.Kinv, prob_dev, self.mesh,
                 n_fixed=n_fixed, sqrtW=sqrtW)
@@ -595,8 +596,8 @@ class BundleAdjuster:
         fl.stats.add("ba_single_solves", 1)
         buf = jnp.asarray(_pack_problem(problem, slot_w))  # ONE upload
         res_dev = _solve_packed(p, self.K, self.Kinv, buf,
-                                fl._stack.img_pad, fl.params.pad,
-                                n_fixed, P, L, M)
+                                fl._stack.img_pad, fl._stack.img_pack,
+                                fl.params.pad, n_fixed, P, L, M)
         self._inflight = (_AsyncFetch(res_dev), meta)
 
     def _apply(self, fl, flat: np.ndarray, meta: dict) -> None:

@@ -49,6 +49,57 @@ def test_rematch_recovers_known_shift():
     assert err.max() < 0.35, err.max()
 
 
+def test_rematch_img_pack_parity():
+    """The persistent packed-table path (img_pack, as wired by
+    window._solve_packed from FrameStack.img_pack) must reproduce the
+    per-solve table-build path exactly on integer-valued images — both
+    the refined pixels and the structure-tensor weights."""
+    from flame_tpu.ops import interp
+    H, W, pad = 64, 96, 8
+    # u8-quantized (integer-valued) images: the bf16 packed table is
+    # exact only on the u8 image domain (which is what the pipeline
+    # feeds); a float-valued image would differ at ~2^-8 relative.
+    img0 = np.round(_checker(H, W)).astype(np.float32)
+    img1 = np.roll(img0, 2, axis=1)
+    imgs = np.stack([np.pad(img0, pad, mode="reflect"),
+                     np.pad(img1, pad, mode="reflect")])
+    pack = jnp.concatenate(
+        [interp.pack_image(jnp.asarray(f)) for f in imgs], axis=0)
+
+    K = camera.make_k(100.0, 100.0, W / 2, H / 2)
+    Kinv = camera.inv_k(K)
+    qw = jnp.tile(se3.quat_identity(), (2, 1))
+    tw = jnp.zeros((2, 3))
+    M = 16
+    rng = np.random.default_rng(0)
+    u_ref = rng.uniform(20, 60, (M, 2)).astype(np.float32)
+
+    args = (K, Kinv, jnp.asarray(imgs), pad, qw, tw,
+            jnp.zeros(M, jnp.int32), jnp.ones(M, jnp.int32),
+            jnp.zeros(M, jnp.int32), jnp.ones(M, jnp.int32),
+            jnp.asarray(u_ref), jnp.asarray(u_ref),
+            jnp.zeros(M, jnp.int32), jnp.zeros((1,), jnp.float32),
+            jnp.ones(M, bool))
+    u_a, r_a = rematch.rematch_observations(*args, radius=3, min_eig=200.0)
+    u_b, r_b = rematch.rematch_observations(*args, radius=3, min_eig=200.0,
+                                            img_pack=pack)
+    np.testing.assert_array_equal(np.asarray(r_a), np.asarray(r_b))
+    np.testing.assert_array_equal(np.asarray(u_a), np.asarray(u_b))
+
+    w_a = rematch.observation_weights(jnp.asarray(imgs), pad,
+                                      jnp.zeros(M, jnp.int32),
+                                      jnp.asarray(u_ref))
+    w_b = rematch.observation_weights(jnp.asarray(imgs), pad,
+                                      jnp.zeros(M, jnp.int32),
+                                      jnp.asarray(u_ref), img_pack=pack)
+    # The interpolated patches are bit-identical (u8 domain), but the
+    # two graphs fuse the downstream structure-tensor reductions
+    # differently, so the weights can differ by compile-level FMA
+    # rounding — tight tolerance, not bit equality.
+    np.testing.assert_allclose(np.asarray(w_a), np.asarray(w_b),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_rematch_gates_edges():
     """On a pure vertical-edge image the aperture gate must reject every
     re-match (the along-edge position is unobservable)."""
