@@ -91,12 +91,16 @@ def _setup_one(verts, tris, vals, tri_valid, truncate):
     vxy = jnp.concatenate([verts, vals[:, None],
                            jnp.zeros((verts.shape[0], 1), verts.dtype)],
                           axis=1)
-    cg = vxy[tris]  # (T, 3, 4)
-    a, b, c, area2 = xr._tri_setup(verts, tris, truncate,
-                                   corners=cg[..., :2])
-    tvals = cg[..., 2]
+    # Three (T, 4) per-corner row gathers instead of one rank-3 vxy[tris]
+    # gather: the (T, 3, 4) gather output forced XLA to interpose
+    # layout-conversion copies (~0.28 ms/frame of the r4d device trace,
+    # copy.2574-2577) between the gather and the row slicing below.
+    c0, c1, c2 = (vxy[tris[:, k]] for k in range(3))
+    corners = jnp.stack([c0[:, :2], c1[:, :2], c2[:, :2]], axis=1)
+    a, b, c, area2 = xr._tri_setup(verts, tris, truncate, corners=corners)
+    tvals = jnp.stack([c0[:, 2], c1[:, 2], c2[:, 2]], axis=1)
 
-    p = cg[..., :2]
+    p = corners
     if truncate:
         p = jnp.trunc(p)
     xmin = jnp.min(p[:, :, 0], axis=1)
