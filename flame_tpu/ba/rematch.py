@@ -67,13 +67,10 @@ def rematch_observations(K, Kinv, imgs_pad, pad: int, qw, tw,
     wx = u_pred[:, 0, None, None] + offs[None, None, :] + pad
     wy = u_pred[:, 1, None, None] + offs[None, :, None] + pad
     fobs = jnp.broadcast_to(obs_slot[:, None, None], (M, Wn, Wn))
-    # packed=True: ~500k one-off samples from a static stack — the
-    # 4-per-sample direct gather measured 22 ms/solve on v5e (r4).
-    if img_pack is not None:
-        win = interp.bilinear_stack_packed(img_pack, fobs, wx, wy, Hp, Wp)
-    else:
-        win = interp.bilinear_stack(imgs_pad, fobs, wx, wy,
-                                    packed=True)  # (M, Wn, Wn)
+    # packed=True fallback: ~500k one-off samples from a static stack —
+    # the 4-per-sample direct gather measured 22 ms/solve on v5e (r4).
+    win = interp.bilinear_stack(imgs_pad, fobs, wx, wy,
+                                packed=True, img_pack=img_pack)  # (M,Wn,Wn)
 
     # Anchor patch at u_ref.
     Pn = 2 * hp + 1
@@ -81,11 +78,8 @@ def rematch_observations(K, Kinv, imgs_pad, pad: int, qw, tw,
     px = u_ref[:, 0, None, None] + poffs[None, None, :] + pad
     py = u_ref[:, 1, None, None] + poffs[None, :, None] + pad
     fanc = jnp.broadcast_to(anchor_slot[:, None, None], (M, Pn, Pn))
-    if img_pack is not None:
-        patch = interp.bilinear_stack_packed(img_pack, fanc, px, py, Hp, Wp)
-    else:
-        patch = interp.bilinear_stack(imgs_pad, fanc, px, py,
-                                      packed=True)  # (M, Pn, Pn)
+    patch = interp.bilinear_stack(imgs_pad, fanc, px, py,
+                                  packed=True, img_pack=img_pack)  # (M,Pn,Pn)
 
     # SSD field over candidate centers: costs[(cy, cx)] =
     # sum_patch (win[cy+py, cx+px] - patch[py, px])^2, cy/cx in [0, 2r].
@@ -168,11 +162,8 @@ def observation_weights(imgs_pad, pad: int, anchor_slot, u_ref,
     px = u_ref[:, 0, None, None] + poffs[None, None, :] + pad
     py = u_ref[:, 1, None, None] + poffs[None, :, None] + pad
     fanc = jnp.broadcast_to(anchor_slot[:, None, None], (M, Pn, Pn))
-    if img_pack is not None:
-        Hp, Wp = imgs_pad.shape[1:]
-        patch = interp.bilinear_stack_packed(img_pack, fanc, px, py, Hp, Wp)
-    else:
-        patch = interp.bilinear_stack(imgs_pad, fanc, px, py, packed=True)
+    patch = interp.bilinear_stack(imgs_pad, fanc, px, py, packed=True,
+                                  img_pack=img_pack)
 
     gx = 0.5 * (patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2])
     gy = 0.5 * (patch[:, 2:, 1:-1] - patch[:, :-2, 1:-1])

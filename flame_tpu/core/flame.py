@@ -195,8 +195,10 @@ class Flame:
         self._graph_scale_dev = jnp.float32(1.0)
 
         N, E, T = p.feature_capacity, p.edge_capacity, p.triangle_capacity
-        self._stack = frame_mod.empty_stack(p.poseframe_capacity, height,
-                                            width, p.pad)
+        self._stack = frame_mod.empty_stack(
+            p.poseframe_capacity, height, width, p.pad,
+            pack_dtype=(jnp.bfloat16 if p.fparams.sparams.table_bf16
+                        else jnp.float32))
         self._feats = pipeline.empty_features(N)
         self._curr = pipeline.CurrFeatures(
             xy=jnp.zeros((N, 2), jnp.float32), idepth=jnp.zeros(N),

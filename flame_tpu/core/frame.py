@@ -67,7 +67,7 @@ class FrameStack(NamedTuple):
     # Persistent packed-corner table of img_pad, (F*(H+2p)*(W+2p), 4)
     # bf16 — maintained at insert time so the track loop's ref-patch
     # sampling is one row gather instead of a 4-corner element gather
-    # (212 vs 584 us/frame measured; see interp.bilinear_stack_packed).
+    # (212 vs 584 us/frame; see interp.bilinear_stack's img_pack path).
     # bf16 is exact for u8-sourced images. Kept FLAT (frame-major rows)
     # rather than (F, T, 4): a reshape between the scan carry and the
     # gather made XLA insert per-iteration layout-conversion loops worth
@@ -80,7 +80,13 @@ class FrameStack(NamedTuple):
     valid: jax.Array  # (F,) bool
 
 
-def empty_stack(capacity: int, height: int, width: int, pad: int) -> FrameStack:
+def empty_stack(capacity: int, height: int, width: int, pad: int,
+                pack_dtype=jnp.bfloat16) -> FrameStack:
+    """pack_dtype: storage dtype of the img_pack sample table — bf16 is
+    exact for u8-sourced imagery and ~40% faster to gather; callers with
+    genuinely float-valued imagery pass jnp.float32
+    (LineStereoParams.table_bf16 governs this for the Flame pipeline).
+    insert/insert_masked derive the dtype from the existing table."""
     F = capacity
     return FrameStack(
         frame_id=jnp.full((F,), -1, jnp.int32),
@@ -88,7 +94,7 @@ def empty_stack(capacity: int, height: int, width: int, pad: int) -> FrameStack:
         t=jnp.zeros((F, 3), jnp.float32),
         img_pad=jnp.zeros((F, height + 2 * pad, width + 2 * pad), jnp.float32),
         img_pack=jnp.zeros(
-            (F * (height + 2 * pad) * (width + 2 * pad), 4), jnp.bfloat16),
+            (F * (height + 2 * pad) * (width + 2 * pad), 4), pack_dtype),
         gradx=jnp.zeros((F, height, width), jnp.float32),
         grady=jnp.zeros((F, height, width), jnp.float32),
         idepthmap=jnp.full((F, height, width), jnp.nan, jnp.float32),
@@ -112,7 +118,8 @@ def insert(stack: FrameStack, slot, frame: Frame) -> FrameStack:
         t=stack.t.at[slot].set(frame.t),
         img_pad=stack.img_pad.at[slot].set(frame.img_pad),
         img_pack=jax.lax.dynamic_update_slice_in_dim(
-            stack.img_pack, interp.pack_image(frame.img_pad),
+            stack.img_pack,
+            interp.pack_image(frame.img_pad, stack.img_pack.dtype),
             slot * frame.img_pad.size, 0),
         gradx=stack.gradx.at[slot].set(frame.gradx),
         grady=stack.grady.at[slot].set(frame.grady),
@@ -161,7 +168,8 @@ def insert_masked(stack: FrameStack, slot, frame: Frame, on) -> FrameStack:
             stack.img_pack,
             jax.lax.cond(
                 on,
-                lambda: interp.pack_image(frame.img_pad),
+                lambda: interp.pack_image(frame.img_pad,
+                                          stack.img_pack.dtype),
                 lambda: jax.lax.dynamic_slice_in_dim(
                     stack.img_pack, slot * frame.img_pad.size,
                     frame.img_pad.size, 0)),

@@ -88,17 +88,26 @@ def bilinear_uv(img: jax.Array, uv: jax.Array) -> jax.Array:
 
 
 def bilinear_stack(imgs: jax.Array, frame_idx: jax.Array, x: jax.Array,
-                   y: jax.Array, packed: bool = None) -> jax.Array:
+                   y: jax.Array, packed: bool = None,
+                   img_pack: jax.Array = None) -> jax.Array:
     """Sample from a stack of images (F, H, W), selecting image frame_idx per
     sample. Used when each feature samples its own anchor poseframe's image
     (reference flame.cc:1691: pfs.at(feat.frame_id)->img_pad).
 
-    packed: None picks by the samples-vs-pixels heuristic below; pass
-    True/False to force. Callers whose stack is STATIC across many
-    samples in one dispatch (e.g. ba/rematch's window gathers, ~500k
-    samples once per solve) force True — the table build amortizes —
-    while in-scan callers over a MUTATING stack must never pack (the
-    table would rebuild every scan iteration; r4 profile).
+    img_pack: optional PERSISTENT packed-corner table of the stack
+    (frame.FrameStack.img_pack, flat (F*H*W, 4) rows maintained at
+    poseframe-insert time). When given, sampling is one row gather
+    against it — no per-call table build, no element gather. Measured
+    212 vs 584 us for the track loop's 20.5k ref-patch samples on v5e
+    (fusion.1001 of the r4b device profile). imgs still provides the
+    (F, H, W) dims and the f32 fallback.
+
+    packed: used only when img_pack is None. None picks by the
+    samples-vs-pixels heuristic below; pass True/False to force.
+    Callers whose stack is STATIC across many samples in one dispatch
+    force True — the per-call table build amortizes — while in-scan
+    callers over a MUTATING stack must never pack (the table would
+    rebuild every scan iteration; r4 profile).
     """
     F, H, W = imgs.shape
     x = jnp.clip(x, 0.0, W - 1.001)
@@ -111,6 +120,9 @@ def bilinear_stack(imgs: jax.Array, frame_idx: jax.Array, x: jax.Array,
 
     fidx = jnp.clip(frame_idx, 0, F - 1).astype(jnp.int32)
     idx00 = fidx * (H * W) + y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
+    if img_pack is not None:
+        v = img_pack[idx00].astype(jnp.float32)
+        return jnp.sum(v * _weights4(dx, dy), axis=-1)
     flat = imgs.reshape(-1).astype(jnp.float32)
     # Same size gate as bilinear(): the packed-corner table is O(stack),
     # so it only pays when the sample count is within ~an order of the
@@ -135,45 +147,22 @@ def bilinear_stack(imgs: jax.Array, frame_idx: jax.Array, x: jax.Array,
 
 
 def pack_image(img: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    """(H, W) -> (H*W, 4) packed-corner rows for bilinear_stack_packed.
+    """(H, W) -> (H*W, 4) packed-corner rows for bilinear_stack(img_pack=).
+
+    The rows are kept FLAT frame-major in FrameStack.img_pack — reshaping
+    a (F, T, 4) scan carry for the gather made XLA insert per-iteration
+    layout-conversion loops (r4c trace, ~4.7 ms/frame).
 
     bf16 storage is exact for integer-valued (u8-sourced) images — see
-    bilinear(); it also halves the gathered bytes and the table footprint.
-    Built once per frame at poseframe-insert time (frame.insert*), NOT
-    per sample query: the r4 profile measured in-scan full-image table
+    bilinear(); it also halves the gathered bytes and the table footprint
+    (LineStereoParams.table_bf16 selects the dtype for the pipeline's
+    tables). Built once per frame at poseframe-insert time (frame.insert*),
+    NOT per sample query: the r4 profile measured in-scan full-image table
     rebuilds at ~2 ms/frame, which is why bilinear_stack gates on query
     size — the persistent per-slot table removes the rebuild entirely.
     """
     return _pack4(img.reshape(-1).astype(jnp.float32), img.shape[1]) \
         .astype(dtype)
-
-
-def bilinear_stack_packed(img_pack: jax.Array, frame_idx: jax.Array,
-                          x: jax.Array, y: jax.Array,
-                          height: int, width: int) -> jax.Array:
-    """bilinear_stack() against a persistent packed-corner table.
-
-    img_pack: (F*height*width, 4) frame-major pack_image() rows maintained
-    alongside the image stack (frame.FrameStack.img_pack — flat on
-    purpose; reshaping a (F, T, 4) carry for this gather made XLA insert
-    per-iteration layout-conversion loops). One row gather per sample —
-    measured 212 us for 20.5k samples from the 16-slot VGA table on v5e
-    vs 584 us for the 4-corner element gather it replaces (the ref-patch
-    sampling of the track hot loop, fusion.1001 in the r4b device
-    profile).
-    """
-    F = img_pack.shape[0] // (height * width)
-    x = jnp.clip(x, 0.0, width - 1.001)
-    y = jnp.clip(y, 0.0, height - 1.001)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    dx = (x - x0)[..., None]
-    dy = (y - y0)[..., None]
-    fidx = jnp.clip(frame_idx, 0, F - 1).astype(jnp.int32)
-    idx00 = fidx * (height * width) + y0.astype(jnp.int32) * width \
-        + x0.astype(jnp.int32)
-    v = img_pack[idx00].astype(jnp.float32)
-    return jnp.sum(v * _weights4(dx, dy), axis=-1)
 
 
 def nearest(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:

@@ -27,12 +27,15 @@ class LineStereoParams:
     do_subpixel: bool = True  # Subpixel refinement via error-gradient zero crossing.
     sample_dist: float = 1.0  # Distance in pixels between samples.
     second_best_factor: float = 1.5  # best*factor must beat second best.
-    # Store the [N, S] sample gather's packed-corner table in bf16: ~40%
-    # faster on v5e (it is the largest single device cost of the track
-    # loop) and EXACT for u8-sourced images — bf16 represents integers
-    # 0..255 exactly, and interpolation weights stay f32, so results are
-    # bit-identical to f32 tables for the reference's image domain.
-    # Disable for float imagery with structure below ~2^-8 relative.
+    # Store ALL packed-corner sample tables in bf16: the line-stereo
+    # [N, S] gather's per-frame table AND the persistent poseframe-stack
+    # table (FrameStack.img_pack) that serves ref-patch and BA-rematch
+    # sampling. ~40% faster gathers on v5e and EXACT for u8-sourced
+    # images — bf16 represents integers 0..255 exactly, and
+    # interpolation weights stay f32, so results are bit-identical to
+    # f32 tables for the reference's image domain. Disable for float
+    # imagery with structure below ~2^-8 relative (all the paths above
+    # then revert to f32 tables together).
     table_bf16: bool = True
 
 

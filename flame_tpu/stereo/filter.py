@@ -194,13 +194,9 @@ def search_stacked(params: FilterParams, geo_batch,
         geo_batch, u_ref)  # (N, 2)
     ppos = _patch_positions(epi_ref, rescale_factor, u_ref_padded)
     fidx = ref_frame_idx[:, None].repeat(5, axis=1)
-    if imgs_pack is not None:
-        Hp, Wp = imgs_ref.shape[1:]
-        ref_patch = interp.bilinear_stack_packed(
-            imgs_pack, fidx, ppos[..., 0], ppos[..., 1], Hp, Wp)
-    else:
-        ref_patch = interp.bilinear_stack(imgs_ref, fidx,
-                                          ppos[..., 0], ppos[..., 1])
+    ref_patch = interp.bilinear_stack(imgs_ref, fidx,
+                                      ppos[..., 0], ppos[..., 1],
+                                      img_pack=imgs_pack)
     return _gate_and_match(params, ref_patch, img_cmp, u_start, u_end,
                            rescale_factor, n_steps)
 

@@ -230,8 +230,10 @@ def load(path: str, fl) -> None:
     fl._graph = unflat("graph", fl._graph)
     fl._stack = unflat("stack", fl._stack)
     from flame_tpu.ops import interp as _interp
+    _pdt = fl._stack.img_pack.dtype
     fl._stack = fl._stack._replace(img_pack=put(
-        jax.vmap(_interp.pack_image)(fl._stack.img_pad).reshape(-1, 4),
+        jax.vmap(lambda im: _interp.pack_image(im, _pdt))(
+            fl._stack.img_pad).reshape(-1, 4),
         fl._stack.img_pack))
     fl._tris = put(data["tris"], fl._tris)
     fl._tri_mask = put(data["tri_mask"], fl._tri_mask)

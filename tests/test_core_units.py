@@ -22,6 +22,24 @@ def make_geo(t=(0.3, 0.0, 0.0)):
 # ---------------------------------------------------------------------------
 
 
+def test_table_bf16_flag_governs_stack_pack_dtype():
+    """LineStereoParams.table_bf16 must control the persistent img_pack
+    table's dtype (the float-imagery escape hatch covers ALL packed
+    sample tables, not just the line-stereo one — review finding r4)."""
+    from flame_tpu.core.flame import Flame
+    from flame_tpu.params import Params, FilterParams, LineStereoParams
+    K = camera.make_k(50.0, 50.0, 16.0, 12.0)
+    Kinv = camera.inv_k(K)
+    base = dict(feature_capacity=64, edge_capacity=192,
+                triangle_capacity=128, poseframe_capacity=2)
+    fl = Flame(32, 24, K, Kinv, Params(**base))
+    assert fl._stack.img_pack.dtype == jnp.bfloat16
+    p32 = Params(**base, fparams=FilterParams(
+        sparams=LineStereoParams(table_bf16=False)))
+    fl32 = Flame(32, 24, K, Kinv, p32)
+    assert fl32._stack.img_pack.dtype == jnp.float32
+
+
 def test_detect_finds_vertical_edge():
     """A single strong vertical edge: winners only in its cells, at its x."""
     K, Kinv, geo = make_geo()

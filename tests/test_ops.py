@@ -51,18 +51,27 @@ def test_bilinear_stack_selects_frame(rng):
 
 
 def test_bilinear_stack_packed_matches_unpacked(rng):
-    """The persistent packed-corner table path must agree exactly with
-    bilinear_stack for integer-valued (u8-sourced) images — bf16 corner
-    storage is exact for 0..255 and the weights stay f32."""
+    """The persistent packed-corner table path (img_pack=) must agree
+    exactly with plain bilinear_stack for integer-valued (u8-sourced)
+    images — bf16 corner storage is exact for 0..255 and the weights
+    stay f32."""
     imgs = rng.integers(0, 256, size=(3, 16, 20)).astype(np.float32)
     pack = jnp.concatenate(
         [interp.pack_image(jnp.asarray(f)) for f in imgs], axis=0)
     x = jnp.asarray(rng.uniform(0, 18.9, size=64).astype(np.float32))
     y = jnp.asarray(rng.uniform(0, 14.9, size=64).astype(np.float32))
     fidx = jnp.asarray(rng.integers(0, 3, size=64), jnp.int32)
-    got = np.asarray(interp.bilinear_stack_packed(pack, fidx, x, y, 16, 20))
+    got = np.asarray(interp.bilinear_stack(jnp.asarray(imgs), fidx, x, y,
+                                           img_pack=pack))
     want = np.asarray(interp.bilinear_stack(jnp.asarray(imgs), fidx, x, y))
     np.testing.assert_array_equal(got, want)
+    # f32 tables (the table_bf16=False escape hatch) agree as well.
+    pack32 = jnp.concatenate(
+        [interp.pack_image(jnp.asarray(f), jnp.float32) for f in imgs],
+        axis=0)
+    got32 = np.asarray(interp.bilinear_stack(jnp.asarray(imgs), fidx, x, y,
+                                             img_pack=pack32))
+    np.testing.assert_array_equal(got32, want)
 
 
 def test_bilinear_bf16_table_exact_for_u8(rng):
