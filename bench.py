@@ -297,7 +297,17 @@ def main():
         "solver_iters_per_sec": round(iters_per_sec),
         "modes": modes,
         "do_ba": do_ba,
+        # Quality + link-weather context ride the artifact: captured
+        # medians through the shared dev tunnel swing 46-126 fps on
+        # IDENTICAL code purely with link weather (NOTES.md r3/r4
+        # campaigns); fetch_latency_ms is the blocked-join EMA that
+        # indexes those phases (~40 ms good, 150+ ms degraded).
+        "coverage": round(cov, 3),
+        "median_rel_depth_err": round(float(np.median(err)), 4),
     }
+    weather = fl.stats.snapshot()["stats"].get("fetch_latency_ms")
+    if weather is not None:
+        result["fetch_latency_ms"] = round(float(weather), 1)
 
     if os.environ.get("BENCH_VERBOSE"):
         extra = {
