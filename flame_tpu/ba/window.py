@@ -551,7 +551,11 @@ class BundleAdjuster:
         M = p.max_obs
         meta = dict(order=order, keys=keys, lm_slots=lm_slots,
                     lm_ids=lm_ids, lm_anchor_slots=lm_anchor_slots,
-                    P=P, L=L, n_obs=n_obs)
+                    P=P, L=L, n_obs=n_obs,
+                    # Staged input poses, for the write-back innovation
+                    # gate at apply time (params.writeback_min_dt).
+                    q_in=np.array(problem.q, np.float32),
+                    t_in=np.array(problem.t, np.float32))
 
         if self.mesh is not None:
             # Observation-sharded psum'd assembly over the mesh — ALWAYS
@@ -631,6 +635,22 @@ class BundleAdjuster:
                 fl._stack, jnp.asarray(slots),
                 jnp.asarray(q[sel].astype(np.float32)),
                 jnp.asarray(t[sel].astype(np.float32)))
+
+        # Write-back innovation gate: when the solve barely moved the
+        # window poses, refined depths are just rematch-noise
+        # re-triangulations of already-converged filter depths — skip
+        # the depth write-back (poses above always apply; the skip is
+        # counted). See params.writeback_min_dt.
+        if p.writeback_min_dt > 0 or p.writeback_min_drot > 0:
+            dt = float(np.max(np.linalg.norm(t - meta["t_in"], axis=1)))
+            dots = np.clip(np.abs(np.sum(q * meta["q_in"], axis=1)
+                                  / (np.linalg.norm(q, axis=1)
+                                     * np.linalg.norm(meta["q_in"], axis=1)
+                                     + 1e-12)), 0.0, 1.0)
+            drot = float(np.max(2.0 * np.arccos(dots)))
+            if dt < p.writeback_min_dt and drot < p.writeback_min_drot:
+                fl.stats.add("ba_writeback_skips", 1)
+                return
 
         # Refined idepths: ONE (L, 4) upload + guarded scatter. Rows are
         # padded to the FIXED max_landmarks shape (slot -1 = inert) so

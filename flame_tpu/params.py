@@ -251,6 +251,19 @@ class BAParams:
     # measured WORSE on edge-dominated scenes (14-16 vs 6-10 mm ATE);
     # enable for corner-rich imagery with 2-D re-matching.
     aniso_weights: bool = False
+    # Skip the refined-IDEPTH write-back when the solve barely moved the
+    # window poses (max translation delta below this, meters, AND max
+    # rotation delta below writeback_min_drot, radians). BA depths come
+    # from rematch correspondences that carry px-level SSD noise; on
+    # already-accurate odometry a solve that changes nothing still
+    # rewrote converged filter depths with those noisier triangulations
+    # (96-frame exact-pose run: median err 0.0026 vs 0.0002 BA-off,
+    # NOTES r4). Under real pose error the correction exceeds these
+    # thresholds and depths re-triangulate as before. Poses ALWAYS
+    # apply. 0 disables the gate. Skips are counted
+    # (stats['ba_writeback_skips']), never silent.
+    writeback_min_dt: float = 1e-3
+    writeback_min_drot: float = 1e-3
 
 
 @dataclass(frozen=True)

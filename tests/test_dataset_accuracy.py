@@ -95,6 +95,29 @@ def test_ba_reduces_ate_on_noisy_poses(mini_tum):
     assert ate_ba < 0.8 * ate_noisy, (ate_ba, ate_noisy)
 
 
+def test_ba_on_exact_poses_keeps_depth_quality(mini_tum):
+    """BA on already-accurate odometry must not damage the dense map:
+    the write-back innovation gate (BAParams.writeback_min_dt) skips
+    rewriting converged filter depths when a solve barely moves the
+    poses (pre-gate measurement: median err 0.0026 vs 0.0002 BA-off on
+    an exact-pose run, NOTES r4)."""
+    root, meta = mini_tum
+    fl_off = run_tum(root, do_ba=False)
+    fl_ba = run_tum(root, do_ba=True)  # ground-truth poses
+    q, t = synthetic.trajectory(N_FRAMES - 1)
+    K = np.asarray(fl_off.K, np.float64)
+    _, gt_idepth = synthetic.render_frame(K, q, t, W, H)
+    s_off = evaluation.depth_error_stats(fl_off.get_inverse_depth_map(),
+                                         gt_idepth)
+    s_ba = evaluation.depth_error_stats(fl_ba.get_inverse_depth_map(),
+                                        gt_idepth)
+    # The gate must actually fire on exact poses...
+    assert fl_ba.stats.snapshot()["stats"].get("ba_writeback_skips", 0) > 0
+    # ...and the map must stay within 1.5x of the BA-off quality.
+    assert s_ba["median_rel"] < max(1.5 * s_off["median_rel"], 0.005), \
+        (s_ba, s_off)
+
+
 def test_depth_quality_degrades_gracefully_with_noise(mini_tum):
     """Noisy poses must not collapse the dense map (robustness gates)."""
     root, meta = mini_tum
