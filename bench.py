@@ -303,7 +303,10 @@ def main():
         # campaigns); fetch_latency_ms is the blocked-join EMA that
         # indexes those phases (~40 ms good, 150+ ms degraded).
         "coverage": round(cov, 3),
-        "median_rel_depth_err": round(float(np.median(err)), 4),
+        # null (not NaN — bare NaN is not strict JSON) when the map is
+        # empty: exactly the catastrophic runs a parser must not choke on.
+        "median_rel_depth_err": (round(float(np.median(err)), 4)
+                                 if err.size else None),
     }
     weather = fl.stats.snapshot()["stats"].get("fetch_latency_ms")
     if weather is not None:
@@ -311,9 +314,9 @@ def main():
 
     if os.environ.get("BENCH_VERBOSE"):
         extra = {
+            # coverage / median_rel_depth_err live in the main result
+            # line now — not duplicated here.
             "win_fps": [round(f, 1) for f in win_fps],
-            "coverage": round(cov, 3),
-            "median_rel_depth_err": round(float(np.median(err)), 4),
             "n_feats": int(np.asarray(fl._feats.valid).sum()),
             "n_vtx": int(np.asarray(fl._graph.vtx_mask).sum()),
             "n_edges": fl._n_edges,

@@ -642,13 +642,10 @@ class BundleAdjuster:
         # the depth write-back (poses above always apply; the skip is
         # counted). See params.writeback_min_dt.
         if p.writeback_min_dt > 0 or p.writeback_min_drot > 0:
-            dt = float(np.max(np.linalg.norm(t - meta["t_in"], axis=1)))
-            dots = np.clip(np.abs(np.sum(q * meta["q_in"], axis=1)
-                                  / (np.linalg.norm(q, axis=1)
-                                     * np.linalg.norm(meta["q_in"], axis=1)
-                                     + 1e-12)), 0.0, 1.0)
-            drot = float(np.max(2.0 * np.arccos(dots)))
-            if dt < p.writeback_min_dt and drot < p.writeback_min_drot:
+            from flame_tpu.utils import evaluation
+            pe = evaluation.pose_errors(q, t, meta["q_in"], meta["t_in"])
+            if pe["t_max"] < p.writeback_min_dt and \
+                    np.radians(pe["r_max_deg"]) < p.writeback_min_drot:
                 fl.stats.add("ba_writeback_skips", 1)
                 return
 
