@@ -43,6 +43,10 @@ from flame_tpu.utils.stats import StatsTracker
 # dozens of per-op dispatches through the device tunnel).
 _load_rel = jax.jit(epipolar.load_relative)
 
+# update()'s first positional is the sensor timestamp and shadows the
+# module name inside that scope.
+_perf_counter = time.perf_counter
+
 
 class _AsyncFetch:
     """Staged device->host transfer on a background thread.
@@ -249,8 +253,22 @@ class Flame:
         # num_imgs). The fetch loop free-runs: transfers are consumed when
         # ready, staged only while fewer than topology_lag are in flight —
         # update() never blocks on a device->host round trip except the
-        # staleness backstop.
+        # bounded-shed backstop (_drain_packed_queue).
         self._packed_queue = collections.deque()
+        # Shed transfers whose device->host copy is still in flight (a
+        # staged np.asarray cannot be cancelled): they count against the
+        # in-flight depth cap until they land, then their bytes are
+        # discarded (latency samples are still harvested — the landing
+        # proves when that dispatch's outputs became host-visible).
+        self._zombie_fetches = []
+        self._sheds_since_consume = 0
+        # update()-entry perf stamps by frame id; popped when the frame's
+        # dispatch stages a packed fetch. When that fetch LANDS, t_done -
+        # t_entry is the frame's update->map-host-visible latency
+        # (the packed transfer is enqueued after the dispatch's compute,
+        # so its landing proves the dense map exists and is fetchable).
+        self._entry_stamp: Dict[int, float] = {}
+        self._latency_samples = []
         # Batch-dispatch state (solver.frame_batch >= 2): the buffered
         # first frames of a batch, the host copy of the last APPLIED
         # topology words (re-uploaded with every batch — per-transfer cost
@@ -295,6 +313,12 @@ class Flame:
         the reference's caller-decides contract, flame.h:145-147)."""
         p = self.params
         self.stats.tick("update")
+        self._entry_stamp[frame_id] = _perf_counter()
+        if len(self._entry_stamp) > 4096:
+            # Frames whose dispatch staged no fetch never pop their stamp;
+            # bound the dict (oldest first — dicts keep insertion order).
+            for k in list(self._entry_stamp)[:2048]:
+                del self._entry_stamp[k]
 
         q, t = pose
         # Host copies of the pose are needed only by the automatic
@@ -457,14 +481,19 @@ class Flame:
             if not self.inited and is_poseframe and self._n_valid == 0:
                 if p.solver.async_topology and self._packed_queue:
                     # Need a current mirror before bootstrap decisions:
-                    # consume the newest queued transfer, discard older.
-                    pk, pk_frame, pk_meta = self._packed_queue[-1]
-                    if self._ba is not None:
-                        for _pk, _fr, _m in list(self._packed_queue)[:-1]:
+                    # consume the newest queued transfer, discard older
+                    # (their in-flight copies keep their link slot until
+                    # they land — zombies, like shed heads).
+                    pk, pk_frame, pk_meta, pk_tent = self._packed_queue[-1]
+                    for _pk, _fr, _m, _te in list(self._packed_queue)[:-1]:
+                        self._zombie_fetches.append((_pk, _te))
+                        if self._ba is not None:
                             self._note_ba_obs_drop(
                                 sum(bool(f) for f in _m[1]))
                     self._packed_queue.clear()
+                    self._sheds_since_consume = 0
                     self._consume_packed(pk.get(), pk_frame, pk_meta)
+                    self._note_latency(pk, pk_tent)
                 if self._n_valid == 0:
                     self._bootstrap_detect(self._curr_pf_slot)
 
@@ -505,13 +534,13 @@ class Flame:
         # same transfer and drain here too (the reference's detection
         # thread likewise delivers a frame late, flame.cc:737-757).
         if p.solver.async_topology:
-            # Consume transfers that have landed; the helper's blocking
-            # backstop (join at head age join_age) is the pipeline's only
-            # flow control — without it the device backlog balloons
-            # (measured 220 ms fetch latency, 3x fps loss; bufferbloat).
-            # The join waits for the TRANSFER only; Delaunay + RCM run in
-            # a second async stage (_consume_packed) so their ~8 ms never
-            # sit inside the blocking path.
+            # Consume transfers that have landed. Flow control is the
+            # bounded-shed policy (_drain_packed_queue): a stale head is
+            # dropped, not joined, and only an exhausted shed budget
+            # blocks — the depth cap (topology_lag) bounds the device
+            # backlog the rest of the time. Delaunay + RCM run in a
+            # second async stage (_consume_packed) so their ~8 ms never
+            # sit inside any blocking path.
             if not self._drain_packed_queue():
                 self.stats.tock("update")
                 return False
@@ -528,11 +557,12 @@ class Flame:
             # it (winners insert on device in track_step).
             stride = max(int(p.solver.fetch_stride), 1)
             if (self.num_imgs % stride == 0 or not self.inited) and \
-                    len(self._packed_queue) < max(int(p.solver.topology_lag),
-                                                  1):
-                self._packed_queue.append((_AsyncFetch(packed_dev),
-                                           self.num_imgs,
-                                           ([frame_id], [is_poseframe])))
+                    self._in_flight_fetches() < max(
+                        int(p.solver.topology_lag), 1):
+                self._packed_queue.append((
+                    _AsyncFetch(packed_dev), self.num_imgs,
+                    ([frame_id], [is_poseframe]),
+                    [self._entry_stamp.pop(frame_id, None)]))
             elif self._ba is not None and is_poseframe:
                 self._note_ba_obs_drop(1)
             # Adopt a finished triangulation (forced when nothing is
@@ -749,9 +779,11 @@ class Flame:
 
         stride = max(int(p.solver.fetch_stride), 1)
         if self._dispatches % stride == 0 and \
-                len(self._packed_queue) < max(int(p.solver.topology_lag), 1):
-            self._packed_queue.append((_AsyncFetch(packed_dev),
-                                       self.num_imgs, (fids, pf_flags)))
+                self._in_flight_fetches() < max(
+                    int(p.solver.topology_lag), 1):
+            self._packed_queue.append((
+                _AsyncFetch(packed_dev), self.num_imgs, (fids, pf_flags),
+                [self._entry_stamp.pop(f, None) for f in fids]))
         elif self._ba is not None and any(pf_flags):
             self._note_ba_obs_drop(sum(bool(f) for f in pf_flags))
         self._adopt_tri_result(force=bool(p.solver.deterministic))
@@ -806,34 +838,122 @@ class Flame:
 
     def _drain_packed_queue(self) -> bool:
         """Consume every packed transfer that has landed (all of them in
-        deterministic mode); block only for a too-stale head — the
-        pipeline's sole flow control (bufferbloat backstop). Returns
-        False when a consumed transfer cleared the instance. ONE
-        definition for both dispatch modes."""
+        deterministic mode). A stale in-flight head (age >= join_age) is
+        SHED — popped without blocking, its un-cancellable transfer left
+        to land in the background — so degraded link weather costs
+        topology freshness instead of update() wall time: the reference
+        never blocks its update thread either (threads free-run,
+        flame.cc:98-116). Consecutive sheds are bounded
+        (solver.max_consecutive_sheds); past the budget the stale head
+        is joined BLOCKING — the backstop that keeps the host mirror
+        (validity counts, Delaunay topology, BA observations) from
+        drifting behind the device unboundedly. Sheds are counted
+        (stats['packed_sheds']) and their poseframes' BA observations
+        routed through _note_ba_obs_drop — never silent. Returns False
+        when a consumed transfer cleared the instance. ONE definition
+        for both dispatch modes."""
         p = self.params
         join_age = int(p.solver.join_age) or (
             max(int(p.solver.topology_lag), 1)
             * max(int(p.solver.fetch_stride), 1))
-        too_stale = bool(self._packed_queue) and (
-            self.num_imgs - self._packed_queue[0][1] >= join_age)
-        joined_any = False
+        shed_budget = max(int(p.solver.max_consecutive_sheds), 0)
         det = bool(p.solver.deterministic)
-        while self._packed_queue and (
-                det or self._packed_queue[0][0].ready()
-                or (too_stale and not joined_any)):
-            pk, pk_frame, pk_meta = self._packed_queue.popleft()
+        joined_any = False
+        while self._packed_queue:
+            pk, pk_frame, pk_meta, pk_tent = self._packed_queue[0]
+            ready = pk.ready()
+            if not (det or ready):
+                if self.num_imgs - pk_frame < join_age:
+                    break  # young in-flight head: let it land on its own
+                if self._sheds_since_consume < shed_budget:
+                    # Shed the stale head. The post-stall topology
+                    # refresh then comes from a FRESHER snapshot than
+                    # this pre-stall one (feature positions move with
+                    # the camera; a seconds-old member snapshot would
+                    # triangulate geometry that no longer exists).
+                    self._packed_queue.popleft()
+                    self._zombie_fetches.append((pk, pk_tent))
+                    self._sheds_since_consume += 1
+                    self.stats.add("packed_sheds", 1)
+                    if self._ba is not None:
+                        self._note_ba_obs_drop(
+                            sum(bool(f) for f in pk_meta[1]))
+                    continue
+                if joined_any:
+                    break  # at most one blocking join per drain
+            self._packed_queue.popleft()
             self.stats.tick("fetch_packed")
             self.stats.ema("fetch_ready_frac",
-                           1.0 if pk.ready() else 0.0, alpha=0.2)
+                           1.0 if ready else 0.0, alpha=0.2)
             pk_np = pk.get()
             joined_any = True
+            self._sheds_since_consume = 0
             self.stats.tock("fetch_packed")
             if pk.t_done is not None:
                 self.stats.ema("fetch_latency_ms",
                                1e3 * (pk.t_done - pk.t_start), alpha=0.2)
+            self._note_latency(pk, pk_tent)
             if not self._consume_packed(pk_np, pk_frame, pk_meta):
                 return False
+        self._reap_zombies()
         return True
+
+    def _reap_zombies(self):
+        """Drop shed transfers that have landed (freeing their in-flight
+        slot) and harvest their latency samples. A transfer error on a
+        shed fetch is counted + warned once, not raised: the pipeline
+        already moved on without its bytes, and a real device failure
+        will surface on the next live dispatch."""
+        if not self._zombie_fetches:
+            return
+        live = []
+        for pk, tent in self._zombie_fetches:
+            if not pk.ready():
+                live.append((pk, tent))
+                continue
+            if pk._exc is not None:
+                self.stats.add("zombie_fetch_errors", 1)
+                if not getattr(self, "_warned_zombie_exc", False):
+                    self._warned_zombie_exc = True
+                    import sys as _sys
+                    print("flame_tpu: shed packed transfer failed "
+                          f"({type(pk._exc).__name__}); see "
+                          "stats['zombie_fetch_errors']", file=_sys.stderr)
+            else:
+                self._note_latency(pk, tent)
+        self._zombie_fetches = live
+
+    def _in_flight_fetches(self) -> int:
+        """Transfers currently occupying the device->host link: queued
+        heads + shed-but-unlanded zombies. The staging depth cap
+        compares against this (the tunnel collapses beyond 2 concurrent
+        streams — NOTES.md), so shedding never raises the true
+        concurrent-transfer count."""
+        self._reap_zombies()
+        return len(self._packed_queue) + len(self._zombie_fetches)
+
+    def _note_latency(self, pk, t_entries):
+        """Record update()->map-host-visible latency samples for the
+        frames of a landed packed transfer (the transfer is enqueued
+        after its dispatch's compute, so t_done bounds when the dense
+        map became fetchable)."""
+        if pk.t_done is None or not t_entries:
+            return
+        for te in t_entries:
+            if te is not None:
+                self._latency_samples.append(1e3 * (pk.t_done - te))
+        if len(self._latency_samples) > 8192:
+            del self._latency_samples[:-4096]
+
+    def latency_percentiles(self, qs=(50.0, 95.0)):
+        """p50/p95 (default) of the measured update->map latency, ms.
+        Samples exist only for dispatches that staged a packed fetch
+        (stride frames with queue room — all of them at the defaults)
+        plus shed transfers once they land. None when no samples yet."""
+        if not self._latency_samples:
+            return None
+        return [float(v) for v in
+                np.percentile(np.asarray(self._latency_samples), qs)]
 
     def _prepare_upload(self, img):
         """Stage this frame's host->device transfer. Returns the device
@@ -1341,7 +1461,14 @@ class Flame:
         self._last_topo_host = None
         self._topo_dev = None
         self._last_sync_pose = None
+        # In-flight transfers of the cleared state: un-cancellable — keep
+        # them on the zombie list so the link-depth accounting stays
+        # honest, discard their bytes when they land.
+        for pk, _fr, _m, tent in self._packed_queue:
+            self._zombie_fetches.append((pk, None))
         self._packed_queue.clear()
+        self._sheds_since_consume = 0
+        self._entry_stamp.clear()
         self._feat_valid_np = np.zeros(p.feature_capacity, bool)
         self._n_valid = 0
 

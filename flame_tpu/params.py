@@ -142,20 +142,37 @@ class SolverParams:
     # steady-state wall time is bounded below by
     # fetch_latency / (topology_lag * fetch_stride).
     fetch_stride: int = 1
-    # Age (in frames) at which the head transfer join becomes blocking.
-    # 0 -> topology_lag * fetch_stride. The blocking join is the
-    # pipeline's only flow control: it bounds the device backlog at
-    # join_age frames of compute, so steady-state wall time is
-    # max(device_work, fetch_latency / join_age). In-flight transfer
-    # DEPTH stays capped by topology_lag (the tunnel collapses beyond 2);
-    # a join age above the depth just tolerates more topology staleness.
+    # Age (in frames) at which the head transfer is considered STALE.
+    # 0 -> topology_lag * fetch_stride. A stale in-flight head is SHED
+    # (popped without blocking; see max_consecutive_sheds) so degraded
+    # link weather costs topology freshness, never update() wall time —
+    # the reference likewise never blocks its update thread on anything
+    # (threads free-run, flame.cc:98-116). In-flight transfer DEPTH
+    # stays capped by topology_lag (the tunnel collapses beyond 2); a
+    # join age above the depth just tolerates more topology staleness.
     # Under frame_batch >= 2 on a high-latency link, prefer ~3-6x the
-    # batch size: a join age of one batch forces a fetch-latency block
-    # EVERY batch (measured 2x throughput loss in degraded weather, r3
-    # sweep), and the r4 A/B measured a further +15-20 fps going from
-    # 3x to 6x in degraded weather with identical quality — fewer
-    # blocked joins also congest the shared link less (NOTES.md).
+    # batch size: when sheds are disabled a join age of one batch forces
+    # a fetch-latency block EVERY batch (measured 2x throughput loss in
+    # degraded weather, r3 sweep), and the r4 A/B measured a further
+    # +15-20 fps going from 3x to 6x in degraded weather with identical
+    # quality — fewer blocked joins also congest the shared link less
+    # (NOTES.md).
     join_age: int = 3
+    # Flow-control policy for a stale unlanded head transfer (age >=
+    # join_age): up to this many CONSECUTIVE sheds — pop the head, leave
+    # its un-cancellable transfer to finish in the background (tracked
+    # so the in-flight depth cap stays honest), discard its bytes, and
+    # keep dispatching against the cached topology (staleness is
+    # masked-inert; the post-stall refresh then comes from a FRESHER
+    # snapshot than the pre-stall head). Past the budget the head is
+    # joined BLOCKING — the backstop that bounds how far the host
+    # mirror (validity counts, Delaunay topology, BA observations) can
+    # drift behind the device. A successful consume resets the count.
+    # Sheds are counted (stats['packed_sheds']) and their poseframes'
+    # BA observations noted via stats['ba_obs_dropped_pfs'] — never
+    # silent. 0 = never shed (always block at join_age, the pre-r5
+    # behavior). r5 A/B through the tunneled chip: see NOTES.md.
+    max_consecutive_sheds: int = 8
     # Backstop: block for the head transfer when the newest staged
     # topology is older than this many frames.
     max_topology_staleness: int = 5

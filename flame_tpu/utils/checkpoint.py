@@ -50,7 +50,8 @@ def _quiesce(fl) -> None:
     triangulation work."""
     fl._flush_batch()
     while fl._packed_queue:
-        pk, pk_frame, pk_meta = fl._packed_queue.popleft()
+        pk, pk_frame, pk_meta, _tent = fl._packed_queue.popleft()
+        fl._sheds_since_consume = 0
         if not fl._consume_packed(pk.get(), pk_frame, pk_meta):
             break  # instance cleared itself (too few features)
     fl._adopt_tri_result(force=True)
