@@ -4,7 +4,9 @@
 Prints ONE JSON line:
   {"metric": "vga_dense_fps_per_chip", "value": N, "unit": "frames/sec",
    "vs_baseline": N / 100, "solver_iters_per_sec": M,
-   "modes": {"resident": N[, "host_upload": N2]}, "do_ba": bool}
+   "modes": {"resident": N, "host_upload": N2, "resident_ba": N3},
+   "windows": {...}, "latency_ms_p50": L, "latency_ms_p95": L2,
+   "win_fps_best": B, "device_floor_ms": F, ...}
 
 The baseline is the north-star target of 100 fps/chip for VGA dense mesh
 estimation (BASELINE.md: the reference publishes no numbers; its README
@@ -14,15 +16,37 @@ through the PRODUCTION smoother on the live end-of-run graph. Runs on
 whatever jax.devices()[0] is (the tunneled TPU under the driver; CPU as
 fallback).
 
-Env knobs: BENCH_RESIDENT=0 measures the host-upload ingestion mode as
-the headline number; BENCH_BOTH=1 measures BOTH modes and reports each
-under "modes" (VERDICT r3 #7: the 100 fps target is mode-conditional
-through the shared dev tunnel — resident ingestion models a DMA/PCIe
-camera feed, host upload pays the link's ~17-80 MB/s image-byte cost).
-BENCH_BA=1 runs with the windowed bundle adjuster ON (the async BA
-pipeline of ba/window.py — obs ride the packed fetch, solves apply
-1-2 batches later); the deployment-posture number VERDICT r3 #3 asks
-for. BENCH_VERBOSE=1 prints per-window/timing details to stderr.
+The DEFAULT run measures the full deployment posture, one JSON artifact:
+  * resident    — device-resident uint8 frames (the production analogue
+                  of DMA/PCIe camera ingestion; only topology words
+                  cross the link per batch). The headline number.
+  * host_upload — numpy frames; image bytes + topology ride ONE
+                  coalesced upload per batch. Pays the shared dev
+                  tunnel's ~17-80 MB/s image-byte cost.
+  * resident_ba — resident ingestion with the windowed bundle adjuster
+                  ON (ba/window.py async pipeline: obs ride the packed
+                  fetch, solves apply 1-2 batches later) — the
+                  deployment cost of the flagship beyond-reference
+                  capability.
+Secondary modes run fewer windows (BENCH_WINDOWS_SECONDARY, default 12)
+to bound total runtime; per-mode window counts are recorded in the
+artifact.
+
+Weather normalization: captured medians through the shared dev tunnel
+swing 46-126 fps on IDENTICAL code purely with link weather (NOTES.md
+r3/r4 campaigns). The artifact therefore carries, besides the median:
+fetch_latency_ms (the blocked-join EMA indexing the weather phase, ~40
+ms good / 150+ degraded), win_fps_best (the best measured window — what
+the pipeline does when the link cooperates), and device_floor_ms (the
+profiler-measured per-frame device compute at the default config —
+the link-independent ceiling).
+
+Env knobs: BENCH_MODES comma-list reorders/trims the modes (first =
+headline); BENCH_RESIDENT=0 / BENCH_BA=1 promote host_upload /
+resident_ba to the headline (back-compat). BENCH_RES=WxH and
+BENCH_FEATS=N scale the scene off the VGA x 4096 default point
+(capacities scale with N; above-VGA evidence for the capacity
+machinery). BENCH_VERBOSE=1 prints per-window/timing details to stderr.
 """
 
 import json
@@ -32,26 +56,35 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Per-frame device compute at the default VGA x 4096 config, measured
+# from jax.profiler device traces of the steady-state loop
+# (tools/exp_profile.py, r4e trace: sum of leaf XLA-op lane times /
+# frames). Static by design: it is the link-independent floor a reader
+# uses to separate pipeline speed from tunnel weather in the artifact.
+DEVICE_FLOOR_MS = 4.07
 
-def make_params(do_ba: bool):
+
+def make_params(do_ba: bool, n_feats: int = 4096):
     from flame_tpu.params import (Params, DetectionParams, SolverParams,
                                   BAParams)
-    # BA deployment posture for the bench (BENCH_BA=1): the bench
+    # BA deployment posture for the bench (resident_ba mode): the bench
     # declares every 2nd frame a poseframe (far denser than a real
     # frontend's ~1-in-10), so solving at every new poseframe would run
     # the ~14 ms window solve twice per 4-frame batch. Warm-started
     # solves every 4 new poseframes (2 refinements per window_size=8
     # turnover) with 3 GN iterations hold the ATE benefit at a fraction
-    # of the device cost (tests/test_evaluation.py pins quality with
-    # the default cadence; tools note in NOTES.md r4).
+    # of the device cost (tests/test_dataset_accuracy.py's
+    # test_ba_reduces_ate_on_noisy_poses pins quality with the default
+    # cadence; NOTES.md r4 records the posture sweep).
     ba = BAParams(n_gn_iters=int(os.environ.get("BENCH_BA_GN", 3)),
                   solve_min_new_pfs=int(
                       os.environ.get("BENCH_BA_MINPF", 4)))
-    # Capacities sized to Delaunay maxima for 4096 features (T <= 2V,
+    # Capacities sized to Delaunay maxima for n_feats features (T <= 2V,
     # E <= 3V): the per-frame topology upload scales with them and the
     # tunnel link is the bottleneck.
     return Params(
-        feature_capacity=4096, edge_capacity=12288, triangle_capacity=8192,
+        feature_capacity=n_feats, edge_capacity=3 * n_feats,
+        triangle_capacity=2 * n_feats,
         poseframe_capacity=16,
         min_height=-1e6, max_height=1e6,
         idepth_init=0.05,
@@ -80,14 +113,18 @@ def make_params(do_ba: bool):
             # even in a bad link period where batch=2 sat at 45-54.
             frame_batch=int(os.environ.get("BENCH_BATCH", 4)),
             fetch_stride=int(os.environ.get("BENCH_STRIDE", 1)),
-            # join_age 24 (r4; was 12 in r3): the blocking head-join is
-            # the only stall in bad link weather — 12 amortizes it over
-            # 3 batches, 24 over 6. r4 A/B (4 runs, alternating order):
+            # join_age 24 (r4; was 12 in r3): the head-join is the only
+            # stall in bad link weather — 12 amortizes it over 3
+            # batches, 24 over 6. r4 A/B (4 runs, alternating order):
             # ja24 94.5/97.5 vs ja12 81.1/76.9 median fps with identical
             # coverage/error, and ja24 runs consistently measured LOWER
             # fetch latency (fewer blocked joins congest the link less).
-            # Topology staleness stays masked-inert either way.
+            # Topology staleness stays masked-inert either way. Since
+            # r5, a stale head is SHED (bounded by max_consecutive_sheds
+            # below) instead of joined, so join_age marks staleness, not
+            # a block.
             join_age=int(os.environ.get("BENCH_JOINAGE", 24)),
+            max_consecutive_sheds=int(os.environ.get("BENCH_SHEDS", 8)),
             smoother=os.environ.get("BENCH_SMOOTHER", "auto"),
             n_iters_per_frame=int(os.environ.get("BENCH_ITERS", 40))),
         debug_quiet=True)
@@ -96,7 +133,8 @@ def make_params(do_ba: bool):
 def measure_mode(params, frames_np, resident: bool, pose, n_warm: int,
                  n_windows: int, win_len: int):
     """One full throughput measurement: fresh Flame, warmup, windowed
-    measurement with real drains. Returns (fps_median, win_fps, fl)."""
+    measurement with real drains. Returns (fps_median, win_fps, fl,
+    latency_pcts)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -104,7 +142,7 @@ def measure_mode(params, frames_np, resident: bool, pose, n_warm: int,
     from flame_tpu.geometry import camera
 
     W, H = frames_np[0].shape[1], frames_np[0].shape[0]
-    FX = 525.0
+    FX = 525.0 * W / 640.0  # matches render(): constant field of view
     K = camera.make_k(FX, FX, W / 2, H / 2)
     Kinv = camera.inv_k(K)
     fl = Flame(W, H, K, Kinv, params)
@@ -136,6 +174,10 @@ def measure_mode(params, frames_np, resident: bool, pose, n_warm: int,
     _ = np.asarray(rtt_f(jnp.float32(0)))
     rtt = time.perf_counter() - t0
 
+    # Latency samples restart here: warmup frames' samples include
+    # compile/deserialization stalls that are not steady-state latency.
+    fl._latency_samples.clear()
+
     # Measure in windows, each ending with a REAL device drain (on the
     # tunneled device block_until_ready returns at RPC-accept, NOT
     # completion — only a device->host read proves the work is done,
@@ -154,7 +196,8 @@ def measure_mode(params, frames_np, resident: bool, pose, n_warm: int,
         dt = time.perf_counter() - t0
         win_fps.append(win_len / max(dt - rtt, 1e-6))
 
-    return float(np.median(win_fps)), win_fps, fl
+    return (float(np.median(win_fps)), win_fps, fl,
+            fl.latency_percentiles())
 
 
 def solver_rate(params, fl):
@@ -200,6 +243,27 @@ def solver_rate(params, fl):
     return K_IT / max(time.perf_counter() - t0 - rtt, 1e-9)
 
 
+def resolve_modes():
+    """Mode list, headline first. Default: the full deployment posture.
+    BENCH_MODES trims/reorders explicitly; BENCH_RESIDENT=0 / BENCH_BA=1
+    promote a secondary mode to the headline (back-compat knobs)."""
+    env = os.environ.get("BENCH_MODES")
+    if env:
+        modes = [m.strip() for m in env.split(",") if m.strip()]
+        bad = set(modes) - {"resident", "host_upload", "resident_ba"}
+        if bad:
+            raise SystemExit(f"BENCH_MODES: unknown mode(s) {sorted(bad)}")
+        return modes
+    modes = ["resident", "host_upload", "resident_ba"]
+    if os.environ.get("BENCH_BA", "0") != "0":
+        modes.remove("resident_ba")
+        modes.insert(0, "resident_ba")
+    elif os.environ.get("BENCH_RESIDENT", "1") == "0":
+        modes.remove("host_upload")
+        modes.insert(0, "host_upload")
+    return modes
+
+
 def main():
     import numpy as np
     import jax
@@ -213,9 +277,14 @@ def main():
     import jax.numpy as jnp
     from flame_tpu.geometry import se3
 
-    # VGA synthetic scene: textured plane at 5m, sideways translation.
-    W, H = 640, 480
-    FX = 525.0
+    # Synthetic scene: textured plane at 5m, sideways translation.
+    # Default VGA; BENCH_RES=WxH + BENCH_FEATS scale the measurement off
+    # the single VGA x 4096 point (capacity machinery evidence).
+    res = os.environ.get("BENCH_RES", "640x480")
+    W, H = (int(v) for v in res.split("x"))
+    n_feats = int(os.environ.get("BENCH_FEATS", 4096))
+    default_point = (W, H, n_feats) == (640, 480, 4096)
+    FX = 525.0 * W / 640.0  # keep the field of view constant across res
     PLANE_Z = 5.0
 
     def tex(X, Y):
@@ -233,8 +302,9 @@ def main():
         # uint8 like a real camera: 4x less host->device upload traffic.
         return np.clip(tex(X, Y), 0, 255).astype(np.uint8)
 
-    do_ba = os.environ.get("BENCH_BA", "0") != "0"
-    params = make_params(do_ba)
+    modes = resolve_modes()
+    params_by_ba = {False: make_params(False, n_feats),
+                    True: make_params(True, n_feats)}
 
     # Warmup must cover a FULL steady-state cycle, not just the first
     # dispatches: the first packed fetch is staged at dispatch
@@ -244,73 +314,98 @@ def main():
     # (+8 with BA on: the first window solve stages ~frame 6 and its
     # apply-side executables — guarded scatter, fused pose write — first
     # run 1-2 batches later; they must compile inside warmup.)
-    n_warm = 16 + (8 if do_ba else 0)
-    # 25 windows spread the measurement over a long enough span that the
-    # shared tunnel's multi-second stall phases (config-independent; see
-    # NOTES.md) are SAMPLED rather than dominant. win_len is rounded UP
-    # to a multiple of frame_batch so every window's frames are fully
-    # dispatched before its drain (ADVICE r2).
-    fb = max(int(params.solver.frame_batch), 1)
+    p0 = params_by_ba[False]
+    fb = max(int(p0.solver.frame_batch), 1)
+    # 25 windows (headline) spread the measurement over a long enough
+    # span that the shared tunnel's multi-second stall phases
+    # (config-independent; see NOTES.md) are SAMPLED rather than
+    # dominant; secondary modes run fewer to bound total runtime.
+    # win_len is rounded UP to a multiple of frame_batch so every
+    # window's frames are fully dispatched before its drain (ADVICE r2).
     n_windows = int(os.environ.get("BENCH_WINDOWS", 25))
+    n_windows_2nd = min(int(os.environ.get("BENCH_WINDOWS_SECONDARY", 12)),
+                        n_windows)
     win_len = -(-8 // fb) * fb
-    n_meas = n_windows * win_len
-    frames_np = [render(0.08 * i) for i in range(n_warm + n_meas)]
+    n_warm_max = 16 + 8  # BA warmup is the longest
+    frames_np = [render(0.08 * i)
+                 for i in range(n_warm_max + n_windows * win_len)]
 
     def pose(i):
         return (se3.quat_identity(), jnp.array([0.08 * i, 0.0, 0.0]))
 
-    # Image ingestion mode. Default: device-RESIDENT frames, staged off
-    # the clock — the production analogue of a DMA/PCIe camera feed
-    # (~10 us per VGA frame over real PCIe; the reference likewise reads
-    # frames from RAM). The dev tunnel to this chip delivers as little
-    # as ~17 MB/s in bad periods, i.e. a ~55 fps ceiling from the 307 KB
+    # Image ingestion. resident = device-resident frames staged off the
+    # clock — the production analogue of a DMA/PCIe camera feed (~10 us
+    # per VGA frame over real PCIe; the reference likewise reads frames
+    # from RAM). The dev tunnel to this chip delivers as little as
+    # ~17 MB/s in bad periods, i.e. a ~55 fps ceiling from the 307 KB
     # image bytes ALONE — that models the shared dev link, not any real
     # deployment. Everything else still crosses the real link every
     # frame: dispatch RPCs, packed feature transfers, topology uploads,
-    # per-window drains. BENCH_RESIDENT=0 measures the full host-upload
+    # per-window drains. host_upload measures the full host-ingestion
     # path instead (images + topology coalesced, one transfer/batch).
-    primary_resident = os.environ.get("BENCH_RESIDENT", "1") != "0"
-    both = os.environ.get("BENCH_BOTH", "0") != "0"
+    mode_fps, mode_windows = {}, {}
+    headline = None
+    for mi, mode in enumerate(modes):
+        do_ba = mode == "resident_ba"
+        params = params_by_ba[do_ba]
+        n_warm = 16 + (8 if do_ba else 0)
+        nw = n_windows if mi == 0 else n_windows_2nd
+        fps, win_fps, fl, lat = measure_mode(
+            params, frames_np, mode != "host_upload", pose, n_warm, nw,
+            win_len)
+        mode_fps[mode] = round(fps, 2)
+        mode_windows[mode] = nw
+        if mi == 0:
+            headline = (mode, fps, win_fps, fl, lat, params)
 
-    modes = {}
-    fps, win_fps, fl = measure_mode(params, frames_np, primary_resident,
-                                    pose, n_warm, n_windows, win_len)
-    modes["resident" if primary_resident else "host_upload"] = round(fps, 2)
-    if both:
-        fps2, win_fps2, _fl2 = measure_mode(
-            params, frames_np, not primary_resident, pose, n_warm,
-            n_windows, win_len)
-        modes["host_upload" if primary_resident else "resident"] = \
-            round(fps2, 2)
-
+    mode, fps, win_fps, fl, lat, params = headline
     iters_per_sec = solver_rate(params, fl)
 
     cov = float(np.mean(~np.isnan(fl.get_inverse_depth_map())))
     idm = fl.get_inverse_depth_map()
     err = np.abs(idm[~np.isnan(idm)] - 1.0 / PLANE_Z) * PLANE_Z
 
+    metric = ("vga_dense_fps_per_chip" if (W, H) == (640, 480)
+              else f"{res}_dense_fps_per_chip")
     result = {
-        "metric": "vga_dense_fps_per_chip",
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 100.0, 4),
         "solver_iters_per_sec": round(iters_per_sec),
-        "modes": modes,
-        "do_ba": do_ba,
+        "modes": mode_fps,
+        "windows": mode_windows,
+        "do_ba": mode == "resident_ba",
         # Quality + link-weather context ride the artifact: captured
         # medians through the shared dev tunnel swing 46-126 fps on
         # IDENTICAL code purely with link weather (NOTES.md r3/r4
-        # campaigns); fetch_latency_ms is the blocked-join EMA that
-        # indexes those phases (~40 ms good, 150+ ms degraded).
+        # campaigns); fetch_latency_ms is the transfer-landing EMA that
+        # indexes those phases (~40 ms good, 150+ ms degraded);
+        # win_fps_best and device_floor_ms let a reader separate
+        # pipeline speed from link weather (README "Reading the bench
+        # artifact").
         "coverage": round(cov, 3),
         # null (not NaN — bare NaN is not strict JSON) when the map is
         # empty: exactly the catastrophic runs a parser must not choke on.
         "median_rel_depth_err": (round(float(np.median(err)), 4)
                                  if err.size else None),
+        "win_fps_best": round(float(np.max(win_fps)), 1),
     }
-    weather = fl.stats.snapshot()["stats"].get("fetch_latency_ms")
+    if default_point:
+        result["device_floor_ms"] = DEVICE_FLOOR_MS
+    if lat is not None:
+        # update()->map-host-visible latency of the headline mode
+        # (Flame.latency_percentiles; samples post-warmup only). The
+        # batching design trades latency for throughput (frame_batch-1
+        # frames of buffering + fetch-cadence delivery) — this records
+        # the actual cost, not the theoretical one.
+        result["latency_ms_p50"] = round(lat[0], 1)
+        result["latency_ms_p95"] = round(lat[1], 1)
+    snap = fl.stats.snapshot()["stats"]
+    weather = snap.get("fetch_latency_ms")
     if weather is not None:
         result["fetch_latency_ms"] = round(float(weather), 1)
+    result["packed_sheds"] = int(snap.get("packed_sheds", 0))
 
     if os.environ.get("BENCH_VERBOSE"):
         extra = {
@@ -323,10 +418,9 @@ def main():
             "device": str(jax.devices()[0]),
             "timings_ms": {k: round(v, 2) for k, v in
                            fl.stats.snapshot()["timings_ms"].items()},
-            "stats": {k: round(v, 3) for k, v in
-                      fl.stats.snapshot()["stats"].items()},
+            "stats": {k: round(v, 3) for k, v in snap.items()},
         }
-        if do_ba and fl._ba is not None:
+        if mode == "resident_ba" and fl._ba is not None:
             extra["ba_last_cost"] = fl._ba.last_cost
             extra["ba_last_accepted"] = fl._ba.last_accepted
         print(json.dumps(extra), file=sys.stderr)
