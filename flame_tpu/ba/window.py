@@ -644,8 +644,15 @@ class BundleAdjuster:
         if p.writeback_min_dt > 0 or p.writeback_min_drot > 0:
             from flame_tpu.utils import evaluation
             pe = evaluation.pose_errors(q, t, meta["q_in"], meta["t_in"])
-            if pe["t_max"] < p.writeback_min_dt and \
-                    np.radians(pe["r_max_deg"]) < p.writeback_min_drot:
+            # A zero threshold disables that AXIS (it always passes the
+            # skip test), not the whole gate — otherwise setting only
+            # one threshold would make the skip condition unsatisfiable
+            # and silently turn the gate off (ADVICE r4).
+            t_small = (p.writeback_min_dt <= 0
+                       or pe["t_max"] < p.writeback_min_dt)
+            r_small = (p.writeback_min_drot <= 0
+                       or np.radians(pe["r_max_deg"]) < p.writeback_min_drot)
+            if t_small and r_small:
                 fl.stats.add("ba_writeback_skips", 1)
                 return
 

@@ -81,12 +81,15 @@ class FrameStack(NamedTuple):
 
 
 def empty_stack(capacity: int, height: int, width: int, pad: int,
-                pack_dtype=jnp.bfloat16) -> FrameStack:
-    """pack_dtype: storage dtype of the img_pack sample table — bf16 is
-    exact for u8-sourced imagery and ~40% faster to gather; callers with
-    genuinely float-valued imagery pass jnp.float32
-    (LineStereoParams.table_bf16 governs this for the Flame pipeline).
-    insert/insert_masked derive the dtype from the existing table."""
+                pack_dtype=jnp.float32) -> FrameStack:
+    """pack_dtype: storage dtype of the img_pack sample table. The
+    default float32 is exact for any imagery; bf16 is exact for
+    u8-sourced imagery only (8 mantissa bits cover 0..255) and ~40%
+    faster to gather — Flame opts in via LineStereoParams.table_bf16,
+    which governs the whole pipeline. Direct callers with float-valued
+    imagery must NOT pass bf16 (silent ~2^-8 relative quantization vs
+    the f32 img_pad the non-packed paths read). insert/insert_masked
+    derive the dtype from the existing table."""
     F = capacity
     return FrameStack(
         frame_id=jnp.full((F,), -1, jnp.int32),
@@ -109,8 +112,14 @@ def insert(stack: FrameStack, slot, frame: Frame) -> FrameStack:
     wait until every in-flight computation referencing the old stack
     retires — measured 127 ms host blocks per poseframe through the
     tunnel once the pipeline runs deep. The full-stack device copy is
-    ~0.1 ms of HBM traffic instead."""
-    slot = jnp.asarray(slot, jnp.int32)
+    ~0.1 ms of HBM traffic instead.
+
+    slot is clamped to [0, F): the per-field .at[].set scatters (OOB
+    drops, negative wraps) and the img_pack dynamic_update_slice (start
+    clamps) would otherwise desync on an out-of-range slot, silently
+    breaking the img_pack == pack_image(img_pad) invariant."""
+    slot = jnp.clip(jnp.asarray(slot, jnp.int32), 0,
+                    stack.valid.shape[0] - 1)
     H, W = stack.gradx.shape[1:]
     return stack._replace(
         frame_id=stack.frame_id.at[slot].set(frame.frame_id),
@@ -150,8 +159,10 @@ def _masked_row_update(arr, slot, new_row, on):
 @jax.jit
 def insert_masked(stack: FrameStack, slot, frame: Frame, on) -> FrameStack:
     """insert() that becomes a no-op when `on` is False (traced bool) —
-    the scan-body form of the poseframe insert (see _masked_row_update)."""
-    slot = jnp.asarray(slot, jnp.int32)
+    the scan-body form of the poseframe insert (see _masked_row_update).
+    slot is clamped for the same field-desync reason as insert()."""
+    slot = jnp.clip(jnp.asarray(slot, jnp.int32), 0,
+                    stack.valid.shape[0] - 1)
     H, W = stack.gradx.shape[1:]
     return stack._replace(
         frame_id=stack.frame_id.at[slot].set(

@@ -277,7 +277,9 @@ class BAParams:
     # (96-frame exact-pose run: median err 0.0026 vs 0.0002 BA-off,
     # NOTES r4). Under real pose error the correction exceeds these
     # thresholds and depths re-triangulate as before. Poses ALWAYS
-    # apply. 0 disables the gate. Skips are counted
+    # apply. Setting BOTH to 0 disables the gate; setting ONE to 0
+    # disables that axis only (it always passes the skip test, so the
+    # gate decides on the other axis alone). Skips are counted
     # (stats['ba_writeback_skips']), never silent.
     writeback_min_dt: float = 1e-3
     writeback_min_drot: float = 1e-3

@@ -80,6 +80,63 @@ def test_score_jax_rejects_large_rotation(kk):
         <= keyframe._SCORE_LOWEST / 2
 
 
+def _roll_quat(deg):
+    # Roll about the optical axis: corners stay in front of the camera
+    # and overlap stays large, so only the orientation cutoff (which
+    # depends on |q_w| alone) decides near 60 degrees — a yaw of that
+    # size would trip the behind-camera gate first at this FOV.
+    ang = np.radians(deg)
+    return np.array([np.cos(ang / 2), 0.0, 0.0, np.sin(ang / 2)])
+
+
+def test_orientation_cutoff_boundary_band(kk):
+    """The 60-degree hard cutoff runs in f32 (score_jax serves both the
+    device AND the host score() since r4); pin the accept/reject flip to
+    a band far narrower than any caller cares about, so f32 rounding
+    cannot silently move the boundary (ADVICE r4). The score's local
+    sensitivity at the cutoff is d s/d theta = sin(120 deg) ~ 0.87 per
+    radian, so f32 resolution locates the flip to ~1e-7 rad; we assert
+    +/-0.005 deg (9e-5 rad), three orders of margin. A good sideways
+    baseline keeps the non-orientation gates (overlap, disparity) alive
+    so only the cutoff decides."""
+    K, Kinv = kk
+    t = np.array([0.5, 0.0, 0.0])
+    for deg in (59.95, 59.995):
+        s = float(keyframe.score_jax(W, H, K, Kinv, _roll_quat(deg), t))
+        assert s > keyframe._SCORE_LOWEST / 2, deg
+    for deg in (60.005, 60.05):
+        s = float(keyframe.score_jax(W, H, K, Kinv, _roll_quat(deg), t))
+        assert s <= keyframe._SCORE_LOWEST / 2, deg
+    # Host wrapper agrees with the device scorer ON the boundary band
+    # (same implementation — this guards the wrapper's f32 conversions).
+    for deg in (59.995, 60.005):
+        sh = keyframe.score(W, H, K, Kinv, _roll_quat(deg), t)
+        sd = float(keyframe.score_jax(W, H, K, Kinv, _roll_quat(deg), t))
+        assert (sh > keyframe._SCORE_LOWEST / 2) \
+            == (sd > keyframe._SCORE_LOWEST / 2), deg
+
+
+def test_behind_camera_boundary_is_clean(kk):
+    """Corners at z <= 0 in the candidate frame must hard-reject with
+    the sentinel; corners just in FRONT (z ~ +1e-3, a near-degenerate
+    divide) must still produce a finite score — the z-guarded divides
+    may never leak NaN/Inf on either side of the boundary. (The
+    just-in-front pose is legitimately ACCEPTED: its huge projected
+    quad contains the whole image, i.e. full frustum overlap.)"""
+    K, Kinv = kk
+    for dz in (-60.0, -50.0):  # max_depth=50: corner z = 50 + dz <= 0
+        s = float(keyframe.score_jax(
+            W, H, K, Kinv, np.array([1.0, 0, 0, 0]),
+            np.array([0.0, 0.0, dz])))
+        assert np.isfinite(s)
+        assert s <= keyframe._SCORE_LOWEST / 2, dz
+    s = float(keyframe.score_jax(
+        W, H, K, Kinv, np.array([1.0, 0, 0, 0]),
+        np.array([0.0, 0.0, -49.999])))  # corner z = +1e-3
+    assert np.isfinite(s)
+    assert s > keyframe._SCORE_LOWEST / 2
+
+
 def test_best_comparison_pose_prefers_baseline(kk):
     K, Kinv = kk
     P = 8
