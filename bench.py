@@ -104,14 +104,17 @@ def make_params(do_ba: bool, n_feats: int = 4096):
             async_topology=True,
             # Experiment knobs (default production values).
             topology_lag=int(os.environ.get("BENCH_LAG", 2)),
-            # Four frames per device dispatch (pipeline.batch_step): ONE
-            # upload + ONE jit per batch divides the per-frame
+            # Eight frames per device dispatch (pipeline.batch_step):
+            # ONE upload + ONE jit per batch divides the per-frame
             # RPC/transfer cost that dominates through the tunneled
-            # device by 4. Measured 2026-08-21 (same coverage 0.92 /
-            # err 0.0002-0.0003 throughout): resident batch=4 124.1
-            # median (windows 97-139); host-upload batch=4 91.9 median
-            # even in a bad link period where batch=2 sat at 45-54.
-            frame_batch=int(os.environ.get("BENCH_BATCH", 4)),
+            # device by 8. batch=8 lost to batch=4 in r3 when the
+            # per-batch blocking fetch join dominated; with the r5 shed
+            # policy (no blocking joins) the dispatch-RPC fixed cost is
+            # what remains, and the adjacent-weather A/B flipped
+            # decisively: b8 139.7 median @ fetch EMA 69 ms vs b4 86.0
+            # @ 64 ms (best window 235 ~ the device floor), identical
+            # coverage 0.90 / err 0.0002 (NOTES.md r5).
+            frame_batch=int(os.environ.get("BENCH_BATCH", 8)),
             fetch_stride=int(os.environ.get("BENCH_STRIDE", 1)),
             # join_age 24 (r4; was 12 in r3): the head-join is the only
             # stall in bad link weather — 12 amortizes it over 3
