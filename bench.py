@@ -64,7 +64,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 DEVICE_FLOOR_MS = 4.07
 
 
-def make_params(do_ba: bool, n_feats: int = 4096):
+def make_params(do_ba: bool, n_feats: int = 4096, frame_batch=None):
     from flame_tpu.params import (Params, DetectionParams, SolverParams,
                                   BAParams)
     # BA deployment posture for the bench (resident_ba mode): the bench
@@ -113,8 +113,13 @@ def make_params(do_ba: bool, n_feats: int = 4096):
             # what remains, and the adjacent-weather A/B flipped
             # decisively: b8 139.7 median @ fetch EMA 69 ms vs b4 86.0
             # @ 64 ms (best window 235 ~ the device floor), identical
-            # coverage 0.90 / err 0.0002 (NOTES.md r5).
-            frame_batch=int(os.environ.get("BENCH_BATCH", 8)),
+            # coverage 0.90 / err 0.0002 (NOTES.md r5). HOST-upload mode
+            # overrides to 4 (see resolve_modes caller): its upload is
+            # serialized image bytes, so doubling the batch doubles the
+            # blocking upload (b8 host measured 30-74 vs b4's 82-92 —
+            # r3 campaign + r5 full run).
+            frame_batch=(int(frame_batch) if frame_batch is not None
+                         else int(os.environ.get("BENCH_BATCH", 8))),
             fetch_stride=int(os.environ.get("BENCH_STRIDE", 1)),
             # join_age 24 (r4; was 12 in r3): the head-join is the only
             # stall in bad link weather — 12 amortizes it over 3
@@ -306,8 +311,16 @@ def main():
         return np.clip(tex(X, Y), 0, 255).astype(np.uint8)
 
     modes = resolve_modes()
-    params_by_ba = {False: make_params(False, n_feats),
-                    True: make_params(True, n_feats)}
+
+    def mode_params(mode):
+        if mode == "host_upload":
+            # Smaller batches for host ingestion: the serialized
+            # image-byte upload scales with the batch and delays the
+            # dispatch (see make_params frame_batch note).
+            return make_params(False, n_feats,
+                               frame_batch=os.environ.get(
+                                   "BENCH_BATCH_HOST", 4))
+        return make_params(mode == "resident_ba", n_feats)
 
     # Warmup must cover a FULL steady-state cycle, not just the first
     # dispatches: the first packed fetch is staged at dispatch
@@ -317,21 +330,22 @@ def main():
     # (+8 with BA on: the first window solve stages ~frame 6 and its
     # apply-side executables — guarded scatter, fused pose write — first
     # run 1-2 batches later; they must compile inside warmup.)
-    p0 = params_by_ba[False]
-    fb = max(int(p0.solver.frame_batch), 1)
     # 25 windows (headline) spread the measurement over a long enough
     # span that the shared tunnel's multi-second stall phases
     # (config-independent; see NOTES.md) are SAMPLED rather than
     # dominant; secondary modes run fewer to bound total runtime.
-    # win_len is rounded UP to a multiple of frame_batch so every
-    # window's frames are fully dispatched before its drain (ADVICE r2).
+    # Per-mode win_len is rounded UP to a multiple of that mode's
+    # frame_batch so every window's frames are fully dispatched before
+    # its drain (ADVICE r2).
     n_windows = int(os.environ.get("BENCH_WINDOWS", 25))
     n_windows_2nd = min(int(os.environ.get("BENCH_WINDOWS_SECONDARY", 12)),
                         n_windows)
-    win_len = -(-8 // fb) * fb
+    fb_max = max(max(int(mode_params(m).solver.frame_batch), 1)
+                 for m in modes)
+    win_len_max = -(-8 // fb_max) * fb_max
     n_warm_max = 16 + 8  # BA warmup is the longest
     frames_np = [render(0.08 * i)
-                 for i in range(n_warm_max + n_windows * win_len)]
+                 for i in range(n_warm_max + n_windows * win_len_max)]
 
     def pose(i):
         return (se3.quat_identity(), jnp.array([0.08 * i, 0.0, 0.0]))
@@ -350,7 +364,9 @@ def main():
     headline = None
     for mi, mode in enumerate(modes):
         do_ba = mode == "resident_ba"
-        params = params_by_ba[do_ba]
+        params = mode_params(mode)
+        fb = max(int(params.solver.frame_batch), 1)
+        win_len = -(-8 // fb) * fb
         n_warm = 16 + (8 if do_ba else 0)
         nw = n_windows if mi == 0 else n_windows_2nd
         fps, win_fps, fl, lat = measure_mode(

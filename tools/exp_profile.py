@@ -59,7 +59,8 @@ def main():
     fl = Flame(W, H, K, Kinv, params)
 
     n_warm = 24 + (8 if do_ba else 0)
-    n_prof = 16 if do_ba else 8  # 2 batches traced (4 with BA: cadence)
+    fb = max(int(params.solver.frame_batch), 1)
+    n_prof = 4 * fb if do_ba else 2 * fb  # 2 batches (4 w/ BA: cadence)
     frames = [render(0.08 * i) for i in range(n_warm + n_prof)]
     frames = [jax.device_put(f) for f in frames]
     jax.block_until_ready(frames)
