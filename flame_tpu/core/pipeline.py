@@ -13,6 +13,7 @@ once per configuration.
 """
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -609,15 +610,55 @@ def _graph_sync_inner(params: Params, graph: nltgv2.GraphState,
         src_slot=topo.src_slot)
 
 
+# Scoped-VMEM cost model of the fused Pallas smoother: its state is
+# dominated by 14 resident (V/128*degree, 128) f32 slot arrays
+# (~56 B per vertex-slot), which Mosaic's scoped allocation roughly
+# 2.6x's with loop-carry double-buffering — measured 23.2 MB scoped at
+# V=8192 x degree=20 (compile-time OOM against the 16 MB limit; XGA
+# bench probe, NOTES.md r5) and a working ~11.6 MB at V=4096 x 20.
+_PALLAS_VMEM_BYTES_PER_SLOT = 150
+
+_warned_pallas_vmem = False
+
+
+def _scoped_vmem_budget() -> float:
+    """Effective scoped-VMEM budget in bytes: the FLAME_TPU_SCOPED_VMEM_KIB
+    override (see _VMEM_JIT_OPTS) with a 5% model margin, else the
+    backend's 16 MB default minus margin."""
+    if SCOPED_VMEM_KIB > 0:
+        return SCOPED_VMEM_KIB * 1024 * 0.95
+    return 15.5 * 2 ** 20
+
+
 def resolve_smoother(params: Params, v_cap: int) -> str:
     """Pick the smoother implementation for this configuration: the fused
-    Pallas banded-lane kernel on TPU (needs V % 128 == 0), the XLA
-    vertex-centric formulation elsewhere."""
+    Pallas banded-lane kernel on TPU (needs V % 128 == 0 and its
+    VMEM-resident state inside the scoped allocation limit), the XLA
+    vertex-centric formulation elsewhere. An explicit mode is honored
+    as given — only "auto" applies the feasibility gates."""
     mode = params.solver.smoother
     if mode == "auto":
         import jax as _jax
+        fits_vmem = (v_cap * params.solver.max_vertex_degree
+                     * _PALLAS_VMEM_BYTES_PER_SLOT
+                     <= _scoped_vmem_budget())
         mode = ("pallas" if _jax.default_backend() == "tpu"
-                and v_cap % 128 == 0 else "vertex")
+                and v_cap % 128 == 0 and fits_vmem else "vertex")
+        if (not fits_vmem and v_cap % 128 == 0
+                and _jax.default_backend() == "tpu"):
+            global _warned_pallas_vmem
+            if not _warned_pallas_vmem:
+                _warned_pallas_vmem = True
+                import sys as _sys
+                print(
+                    f"flame_tpu: V={v_cap} x degree="
+                    f"{params.solver.max_vertex_degree} exceeds the "
+                    "Pallas smoother's scoped-VMEM budget; using the "
+                    "XLA vertex smoother (lower iters/sec). Raise "
+                    "FLAME_TPU_SCOPED_VMEM_KIB (or on a real TPU host "
+                    "XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=N), or "
+                    "reduce max_vertex_degree / feature_capacity, to "
+                    "regain the fused kernel.", file=_sys.stderr)
     return mode
 
 
@@ -794,13 +835,30 @@ def _post_delaunay_inner(params: Params, K, Kinv, graph: nltgv2.GraphState,
                               coverage)
 
 
+# Scoped-VMEM budget override for the post-Delaunay jits (the ones that
+# embed the fused Pallas smoother). TPU-only compiler option; read at
+# import (it must be identical for every trace of one executable). On a
+# real TPU host XLA_FLAGS="--xla_tpu_scoped_vmem_limit_kib=N" does the
+# same globally; this knob exists because a CPU-client tunnel rejects
+# TPU flags in XLA_FLAGS at startup while per-jit compiler_options pass
+# through (probed live, NOTES.md r5). bench.py sets it automatically
+# for configurations whose smoother state exceeds the 16 MB default
+# (see resolve_smoother's feasibility gate).
+SCOPED_VMEM_KIB = int(os.environ.get("FLAME_TPU_SCOPED_VMEM_KIB", "0"))
+_VMEM_JIT_OPTS = (
+    {"compiler_options":
+     {"xla_tpu_scoped_vmem_limit_kib": str(SCOPED_VMEM_KIB)}}
+    if SCOPED_VMEM_KIB > 0 else {})
+
 post_delaunay_step = functools.partial(
     jax.jit, static_argnames=("params", "width", "height",
-                              "topo_offset", "mesh"))(_post_delaunay_inner)
+                              "topo_offset", "mesh"),
+    **_VMEM_JIT_OPTS)(_post_delaunay_inner)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "n_frames",
-                                             "height", "width", "mesh"))
+                                             "height", "width", "mesh"),
+                   **_VMEM_JIT_OPTS)
 def batch_step(params: Params, K, Kinv, stack: FrameStack,
                feats: FeatureState, graph: nltgv2.GraphState, graph_scale,
                buf, fids, qs, ts, pf_flags, det_flags, pf_slots, id_bases,
