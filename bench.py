@@ -273,6 +273,19 @@ def resolve_modes():
 
 
 def main():
+    # Large configs outgrow the 16 MB scoped-VMEM default of the fused
+    # Pallas smoother (measured 23.2 MB at V=8192 x degree=20); raise
+    # the per-jit budget so resolve_smoother keeps the kernel instead of
+    # falling back to the ~40x-slower XLA vertex formulation. MUST run
+    # before ANY flame_tpu import — the package __init__ chain pulls in
+    # core.pipeline, which reads the knob at import.
+    _feats = int(os.environ.get("BENCH_FEATS", 4096))
+    _degree = int(os.environ.get("BENCH_DEGREE", 20))
+    _need = _feats * _degree * 150  # pipeline._PALLAS_VMEM_BYTES_PER_SLOT
+    if _need > 15.5 * 2 ** 20:
+        os.environ.setdefault("FLAME_TPU_SCOPED_VMEM_KIB",
+                              str(int(_need * 1.4 // 1024)))
+
     import numpy as np
     import jax
 
@@ -292,17 +305,6 @@ def main():
     W, H = (int(v) for v in res.split("x"))
     n_feats = int(os.environ.get("BENCH_FEATS", 4096))
     default_point = (W, H, n_feats) == (640, 480, 4096)
-
-    # Large configs outgrow the 16 MB scoped-VMEM default of the fused
-    # Pallas smoother (measured 23.2 MB at V=8192 x degree=20); raise
-    # the per-jit budget so resolve_smoother keeps the kernel instead of
-    # falling back to the ~40x-slower XLA vertex formulation. Must be in
-    # the environment BEFORE flame_tpu.core.pipeline is imported.
-    degree = int(os.environ.get("BENCH_DEGREE", 20))
-    need = n_feats * degree * 150  # pipeline._PALLAS_VMEM_BYTES_PER_SLOT
-    if need > 15.5 * 2 ** 20:
-        os.environ.setdefault("FLAME_TPU_SCOPED_VMEM_KIB",
-                              str(int(need * 1.4 // 1024)))
     FX = 525.0 * W / 640.0  # keep the field of view constant across res
     PLANE_Z = 5.0
 
