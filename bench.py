@@ -221,6 +221,7 @@ def solver_rate(params, fl):
 
     K_IT = 4000
     if resolve_smoother(params, params.feature_capacity) == "pallas":
+        from flame_tpu.core.pipeline import VMEM_JIT_OPTS
         from flame_tpu.optimize import pallas_smoother as ps
         V = params.feature_capacity
         member = np.asarray(fl._graph.vtx_mask)
@@ -233,10 +234,13 @@ def solver_rate(params, fl):
             params.solver.max_vertex_degree, params.solver.pallas_reach)
         pd, ivd, rkd = (jnp.asarray(perm), jnp.asarray(inv),
                         jnp.asarray(ranks.astype(np.int32)))
+        # The same scoped-VMEM budget the pipeline jits carry — without
+        # it a large-V kernel compiles in batch_step but dies here at
+        # the backend's 16 MB default.
         smooth = jax.jit(lambda g: ps.smooth(
             params.rparams, g, pd, ivd, rkd, K_IT,
             params.solver.max_vertex_degree,
-            reach=params.solver.pallas_reach))
+            reach=params.solver.pallas_reach), **VMEM_JIT_OPTS)
     else:
         smooth = jax.jit(lambda g: nltgv2.smooth(
             params.rparams, g, K_IT))

@@ -623,7 +623,7 @@ _warned_pallas_vmem = False
 
 def _scoped_vmem_budget() -> float:
     """Effective scoped-VMEM budget in bytes: the FLAME_TPU_SCOPED_VMEM_KIB
-    override (see _VMEM_JIT_OPTS) with a 5% model margin, else the
+    override (see VMEM_JIT_OPTS) with a 5% model margin, else the
     backend's 16 MB default minus margin."""
     if SCOPED_VMEM_KIB > 0:
         return SCOPED_VMEM_KIB * 1024 * 0.95
@@ -845,7 +845,7 @@ def _post_delaunay_inner(params: Params, K, Kinv, graph: nltgv2.GraphState,
 # for configurations whose smoother state exceeds the 16 MB default
 # (see resolve_smoother's feasibility gate).
 SCOPED_VMEM_KIB = int(os.environ.get("FLAME_TPU_SCOPED_VMEM_KIB", "0"))
-_VMEM_JIT_OPTS = (
+VMEM_JIT_OPTS = (
     {"compiler_options":
      {"xla_tpu_scoped_vmem_limit_kib": str(SCOPED_VMEM_KIB)}}
     if SCOPED_VMEM_KIB > 0 else {})
@@ -853,12 +853,12 @@ _VMEM_JIT_OPTS = (
 post_delaunay_step = functools.partial(
     jax.jit, static_argnames=("params", "width", "height",
                               "topo_offset", "mesh"),
-    **_VMEM_JIT_OPTS)(_post_delaunay_inner)
+    **VMEM_JIT_OPTS)(_post_delaunay_inner)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "n_frames",
                                              "height", "width", "mesh"),
-                   **_VMEM_JIT_OPTS)
+                   **VMEM_JIT_OPTS)
 def batch_step(params: Params, K, Kinv, stack: FrameStack,
                feats: FeatureState, graph: nltgv2.GraphState, graph_scale,
                buf, fids, qs, ts, pf_flags, det_flags, pf_slots, id_bases,
