@@ -58,10 +58,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Per-frame device compute at the default VGA x 4096 config, measured
 # from jax.profiler device traces of the steady-state loop
-# (tools/exp_profile.py, r4e trace: sum of leaf XLA-op lane times /
+# (tools/exp_profile.py; r5 trace at frame_batch=8: the jit_batch_step
+# device envelope is 52.33 ms over 16 frames = 3.27 ms/frame — down
+# from 4.07 at batch=4 because per-batch work amortizes over more
 # frames). Static by design: it is the link-independent floor a reader
 # uses to separate pipeline speed from tunnel weather in the artifact.
-DEVICE_FLOOR_MS = 4.07
+DEVICE_FLOOR_MS = 3.27
 
 
 def make_params(do_ba: bool, n_feats: int = 4096, frame_batch=None):
