@@ -186,6 +186,12 @@ def measure_mode(params, frames_np, resident: bool, pose, n_warm: int,
 
     # Latency samples restart here: warmup frames' samples include
     # compile/deserialization stalls that are not steady-state latency.
+    # Fetches staged DURING warmup but still in flight carry warmup
+    # entry stamps — strip those too, or their landings re-inject the
+    # compile-stall samples the clear is removing.
+    fl._packed_queue = type(fl._packed_queue)(
+        (pk, fr, meta, [None] * len(tent))
+        for pk, fr, meta, tent in fl._packed_queue)
     fl._latency_samples.clear()
 
     # Measure in windows, each ending with a REAL device drain (on the
@@ -267,12 +273,23 @@ def resolve_modes():
         bad = set(modes) - {"resident", "host_upload", "resident_ba"}
         if bad:
             raise SystemExit(f"BENCH_MODES: unknown mode(s) {sorted(bad)}")
+        if not modes:
+            raise SystemExit("BENCH_MODES: no modes parsed")
         return modes
+    ba = os.environ.get("BENCH_BA", "0") != "0"
+    host = os.environ.get("BENCH_RESIDENT", "1") == "0"
+    if ba and host:
+        # Pre-r5 this combination measured host-upload WITH BA; the
+        # mode split has no such posture, so fail loudly instead of
+        # silently measuring a different one.
+        raise SystemExit("BENCH_BA=1 with BENCH_RESIDENT=0 is no longer "
+                         "a single posture; pick modes explicitly with "
+                         "BENCH_MODES")
     modes = ["resident", "host_upload", "resident_ba"]
-    if os.environ.get("BENCH_BA", "0") != "0":
+    if ba:
         modes.remove("resident_ba")
         modes.insert(0, "resident_ba")
-    elif os.environ.get("BENCH_RESIDENT", "1") == "0":
+    elif host:
         modes.remove("host_upload")
         modes.insert(0, "host_upload")
     return modes
@@ -310,7 +327,15 @@ def main():
     res = os.environ.get("BENCH_RES", "640x480")
     W, H = (int(v) for v in res.split("x"))
     n_feats = int(os.environ.get("BENCH_FEATS", 4096))
-    default_point = (W, H, n_feats) == (640, 480, 4096)
+    # device_floor_ms is only valid at the exact configuration it was
+    # profiled at (VGA x 4096 x batch 8, default iters/degree) — a
+    # different batch/iteration budget has a different floor (b4
+    # measured 4.07).
+    default_point = (
+        (W, H, n_feats) == (640, 480, 4096)
+        and os.environ.get("BENCH_BATCH", "8") == "8"
+        and os.environ.get("BENCH_ITERS", "40") == "40"
+        and os.environ.get("BENCH_DEGREE", "20") == "20")
     FX = 525.0 * W / 640.0  # keep the field of view constant across res
     PLANE_Z = 5.0
 
@@ -359,9 +384,13 @@ def main():
     n_windows = int(os.environ.get("BENCH_WINDOWS", 25))
     n_windows_2nd = min(int(os.environ.get("BENCH_WINDOWS_SECONDARY", 12)),
                         n_windows)
-    fb_max = max(max(int(mode_params(m).solver.frame_batch), 1)
-                 for m in modes)
-    win_len_max = -(-8 // fb_max) * fb_max
+    def _win_len(fb):
+        return -(-8 // max(int(fb), 1)) * max(int(fb), 1)
+
+    # Per-mode win_len is NOT monotonic in frame_batch (ceil-to-multiple
+    # rounding), so size the frame pool on the max over actual win_lens.
+    win_len_max = max(_win_len(mode_params(m).solver.frame_batch)
+                      for m in modes)
     n_warm_max = 16 + 8  # BA warmup is the longest
     frames_np = [render(0.08 * i)
                  for i in range(n_warm_max + n_windows * win_len_max)]
@@ -384,13 +413,14 @@ def main():
     for mi, mode in enumerate(modes):
         do_ba = mode == "resident_ba"
         params = mode_params(mode)
-        fb = max(int(params.solver.frame_batch), 1)
-        win_len = -(-8 // fb) * fb
+        win_len = _win_len(params.solver.frame_batch)
         n_warm = 16 + (8 if do_ba else 0)
         nw = n_windows if mi == 0 else n_windows_2nd
+        # Only this mode's frames: staging the full headline-sized pool
+        # for a short secondary mode wastes seconds of tunnel uplink.
         fps, win_fps, fl, lat = measure_mode(
-            params, frames_np, mode != "host_upload", pose, n_warm, nw,
-            win_len)
+            params, frames_np[: n_warm + nw * win_len],
+            mode != "host_upload", pose, n_warm, nw, win_len)
         mode_fps[mode] = round(fps, 2)
         mode_windows[mode] = nw
         if mi == 0:

@@ -844,10 +844,16 @@ class Flame:
         topology freshness instead of update() wall time: the reference
         never blocks its update thread either (threads free-run,
         flame.cc:98-116). Consecutive sheds are bounded
-        (solver.max_consecutive_sheds); past the budget the stale head
-        is joined BLOCKING — the backstop that keeps the host mirror
-        (validity counts, Delaunay topology, BA observations) from
-        drifting behind the device unboundedly. Sheds are counted
+        (solver.max_consecutive_sheds); past the budget a stale head is
+        joined BLOCKING. The bound is on DROPPED TRANSFERS between
+        successful consumes — it keeps crawling-but-landing weather
+        from cycling sheds forever. It is NOT a wall-clock drift bound:
+        in a full link stall the queue empties (zombies hold the
+        staging slots) and update() free-runs on device-only state with
+        a frozen host mirror until the first landing — deliberately, as
+        the reference's update thread free-runs when its detection
+        thread starves, and a dead link gives a block nothing to wait
+        for but the stall itself. Sheds are counted
         (stats['packed_sheds']) and their poseframes' BA observations
         routed through _note_ba_obs_drop — never silent. Returns False
         when a consumed transfer cleared the instance. ONE definition
@@ -875,6 +881,11 @@ class Flame:
                     self._zombie_fetches.append((pk, pk_tent))
                     self._sheds_since_consume += 1
                     self.stats.add("packed_sheds", 1)
+                    # A shed head is an unready transfer: it must count
+                    # in the readiness EMA or the stat reads a degraded
+                    # link as perfect exactly when sheds fire (r5
+                    # review).
+                    self.stats.ema("fetch_ready_frac", 0.0, alpha=0.2)
                     if self._ba is not None:
                         self._note_ba_obs_drop(
                             sum(bool(f) for f in pk_meta[1]))

@@ -164,10 +164,14 @@ class SolverParams:
     # so the in-flight depth cap stays honest), discard its bytes, and
     # keep dispatching against the cached topology (staleness is
     # masked-inert; the post-stall refresh then comes from a FRESHER
-    # snapshot than the pre-stall head). Past the budget the head is
-    # joined BLOCKING — the backstop that bounds how far the host
-    # mirror (validity counts, Delaunay topology, BA observations) can
-    # drift behind the device. A successful consume resets the count.
+    # snapshot than the pre-stall head). Past the budget a stale head
+    # is joined BLOCKING. The bound is on DROPPED TRANSFERS between
+    # consumes (it stops crawling-but-landing weather from cycling
+    # sheds forever), NOT a wall-clock drift bound: in a full stall the
+    # queue empties and update() free-runs on device-only state with a
+    # frozen host mirror until the first landing (the masked-staleness
+    # design tolerates exactly this; a dead link gives a block nothing
+    # to wait for). A successful consume resets the count.
     # Sheds are counted (stats['packed_sheds']) and their poseframes'
     # BA observations noted via stats['ba_obs_dropped_pfs'] — never
     # silent. 0 = never shed (always block at join_age, the pre-r5

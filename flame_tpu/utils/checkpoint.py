@@ -304,7 +304,16 @@ def load(path: str, fl) -> None:
                            data["staged.tris"], data["staged.edges"],
                            n_edges)
     fl._tri_pending = None
+    # Pre-restore in-flight transfers are un-cancellable: keep them on
+    # the zombie list so the link-depth accounting stays honest (same
+    # bookkeeping as Flame.clear), and reset the shed/latency state the
+    # snapshot does not carry.
+    for pk, _fr, _m, _tent in fl._packed_queue:
+        fl._zombie_fetches.append((pk, None))
     fl._packed_queue.clear()
+    fl._sheds_since_consume = 0
+    fl._entry_stamp.clear()
+    fl._latency_samples = []
     fl._batch_pending = []
     fl._tris_staged = (fl._tris_np, fl._n_tris)
 

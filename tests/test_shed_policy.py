@@ -116,6 +116,9 @@ def test_stale_head_is_shed_not_joined():
     assert not fl._consumed
     assert stat(fl, "packed_sheds") == 1
     assert fl._sheds_since_consume == 1
+    # A shed is an unready transfer: the readiness EMA must record it
+    # (else the stat reads a degraded link as perfect — r5 review).
+    assert stat(fl, "fetch_ready_frac") < 1.0
     # The un-cancellable transfer holds its link slot until it lands.
     assert fl._in_flight_fetches() == 1
     pk._ready = True
