@@ -771,8 +771,8 @@ class Flame:
             self.num_regularizer_updates += p.solver.n_iters_per_frame
         self._dispatches += 1
 
-        # Async fetch pipeline — same flow control as the single path
-        # (join age in frames, stride in dispatches).
+        # Async fetch pipeline — same bounded-shed flow control as the
+        # single path (staleness age in frames, stride in dispatches).
         if not self._drain_packed_queue():
             self.stats.tock("update")
             return False
