@@ -459,7 +459,9 @@ def main():
                                  if err.size else None),
         "win_fps_best": round(float(np.max(win_fps)), 1),
     }
-    if default_point:
+    # The floor constant was profiled on the resident batch=8 loop; a
+    # host_upload headline runs batch=4 (different floor, 4.07 at r4).
+    if default_point and mode == "resident":
         result["device_floor_ms"] = DEVICE_FLOOR_MS
     if lat is not None:
         # update()->map-host-visible latency of the headline mode
