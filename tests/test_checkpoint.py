@@ -121,3 +121,42 @@ def test_checkpoint_midbatch_ba_bit_equal_resume(tmp_path):
                                   np.asarray(fl2._graph.x))
     assert len(fl._ba.store) == len(fl2._ba.store)
     assert np.mean(~np.isnan(b)) > 0.2
+
+
+def test_restore_tracks_inflight_transfers_as_zombies(tmp_path):
+    """Restoring over a LIVE instance with in-flight packed transfers
+    must keep their un-cancellable fetches on the zombie list (the
+    link-depth cap counts them — the tunnel collapses beyond 2
+    concurrent streams) and reset the shed/latency state the snapshot
+    does not carry (r5 review)."""
+    params = make_params()
+    K = camera.make_k(FX, FX, W / 2, H / 2)
+    Kinv = camera.inv_k(K)
+    fl = Flame(W, H, K, Kinv, params)
+    run_frames(fl, 0, 8)
+    path = os.path.join(tmp_path, "ckpt.npz")
+    checkpoint.save(path, fl)
+
+    fl2 = Flame(W, H, K, Kinv, params)
+
+    class StuckFetch:
+        t_done = None
+        _exc = None
+
+        def ready(self):
+            return False
+
+    fl2._packed_queue.append((StuckFetch(), 3, ([3], [False]), [None]))
+    fl2._packed_queue.append((StuckFetch(), 4, ([4], [False]), [None]))
+    fl2._sheds_since_consume = 7
+    fl2._latency_samples = [1.0, 2.0]
+    fl2._entry_stamp[99] = 0.0
+    checkpoint.load(path, fl2)
+
+    assert not fl2._packed_queue
+    assert len(fl2._zombie_fetches) == 2  # still occupying link slots
+    assert fl2._in_flight_fetches() == 2
+    assert fl2._sheds_since_consume == 0
+    assert fl2._latency_samples == [] and fl2._entry_stamp == {}
+    # The restored instance must still run.
+    run_frames(fl2, 8, 10)
