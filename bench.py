@@ -178,11 +178,11 @@ def measure_mode(params, frames_np, resident: bool, pose, n_warm: int,
     # Fixed round-trip cost of the drain fetch itself (measurement
     # overhead, not pipeline work — it would inflate every window by
     # ~27 ms through the tunnel).
+    # Warm the probe executable here so no window's RTT re-measure pays
+    # a compile; the apparatus cost itself is re-measured per window in
+    # that window's weather (see the loop below).
     rtt_f = jax.jit(lambda v: v + 1)
     _ = np.asarray(rtt_f(jnp.float32(0)))
-    t0 = time.perf_counter()
-    _ = np.asarray(rtt_f(jnp.float32(0)))
-    rtt = time.perf_counter() - t0
 
     # Latency samples restart here: warmup frames' samples include
     # compile/deserialization stalls that are not steady-state latency.
@@ -210,7 +210,15 @@ def measure_mode(params, frames_np, resident: bool, pose, n_warm: int,
             k += 1
         np.asarray(fl._idepthmap[0, 0])  # drain: device + transfer queue
         dt = time.perf_counter() - t0
-        win_fps.append(win_len / max(dt - rtt, 1e-6))
+        # Re-measure the drain-fetch apparatus cost in THIS window's
+        # weather (r5): one static pre-run RTT under-subtracts whenever
+        # the link degrades mid-run, charging pure measurement overhead
+        # to the pipeline. Clamped to half the window so an RTT-probe
+        # outlier can never hide real pipeline time.
+        t1 = time.perf_counter()
+        _ = np.asarray(rtt_f(jnp.float32(w)))
+        rtt_w = min(time.perf_counter() - t1, 0.5 * dt)
+        win_fps.append(win_len / max(dt - rtt_w, 1e-6))
 
     return (float(np.median(win_fps)), win_fps, fl,
             fl.latency_percentiles())
@@ -384,8 +392,18 @@ def main():
     n_windows = int(os.environ.get("BENCH_WINDOWS", 25))
     n_windows_2nd = min(int(os.environ.get("BENCH_WINDOWS_SECONDARY", 12)),
                         n_windows)
+    base_win = int(os.environ.get("BENCH_WINLEN", 16))
+
     def _win_len(fb):
-        return -(-8 // max(int(fb), 1)) * max(int(fb), 1)
+        # Rounded UP to a multiple of the mode's frame_batch so every
+        # window's frames are fully dispatched before its drain. Base 16
+        # (r5; was 8): each window ends in a real device drain whose
+        # cost is 1 tunnel RTT beyond the subtracted estimate, and in
+        # degraded weather that un-subtracted remainder at 8-frame
+        # windows was ~3-10 ms/frame of pure measurement overhead —
+        # window length amortizes apparatus cost, not pipeline cost
+        # (A/B in NOTES.md r5).
+        return -(-base_win // max(int(fb), 1)) * max(int(fb), 1)
 
     # Per-mode win_len is NOT monotonic in frame_batch (ceil-to-multiple
     # rounding), so size the frame pool on the max over actual win_lens.
@@ -395,8 +413,23 @@ def main():
     frames_np = [render(0.08 * i)
                  for i in range(n_warm_max + n_windows * win_len_max)]
 
-    def pose(i):
-        return (se3.quat_identity(), jnp.array([0.08 * i, 0.0, 0.0]))
+    if os.environ.get("BENCH_PRESTAGE_POSES", "0") != "0":
+        # Experiment knob: pre-stage every pose array off the clock, so
+        # the measured loop issues ZERO per-frame pose device-puts —
+        # isolates what update()'s two small jnp.asarray uploads per
+        # frame cost through the tunnel (NOTES.md r5).
+        n_total = n_warm_max + n_windows * win_len_max
+        q0 = jax.device_put(se3.quat_identity())
+        t_all = [jax.device_put(jnp.array([0.08 * i, 0.0, 0.0]))
+                 for i in range(n_total)]
+        jax.block_until_ready(t_all)
+        np.asarray(t_all[-1][0])
+
+        def pose(i):
+            return (q0, t_all[i])
+    else:
+        def pose(i):
+            return (se3.quat_identity(), jnp.array([0.08 * i, 0.0, 0.0]))
 
     # Image ingestion. resident = device-resident frames staged off the
     # clock — the production analogue of a DMA/PCIe camera feed (~10 us
