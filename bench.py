@@ -192,6 +192,7 @@ def measure_mode(params, frames_np, resident: bool, pose, n_warm: int,
     fl._packed_queue = type(fl._packed_queue)(
         (pk, fr, meta, [None] * len(tent))
         for pk, fr, meta, tent in fl._packed_queue)
+    fl._zombie_fetches = [(pk, None) for pk, _t in fl._zombie_fetches]
     fl._latency_samples.clear()
 
     # Measure in windows, each ending with a REAL device drain (on the
@@ -201,6 +202,7 @@ def measure_mode(params, frames_np, resident: bool, pose, n_warm: int,
     # the shared tunnel stalls for seconds at a time independently of
     # the workload, and a single-window measurement is hostage to it.
     win_fps = []
+    rtt_probes = []
     k = 0
     for w in range(n_windows):
         t0 = time.perf_counter()
@@ -217,7 +219,13 @@ def measure_mode(params, frames_np, resident: bool, pose, n_warm: int,
         # outlier can never hide real pipeline time.
         t1 = time.perf_counter()
         _ = np.asarray(rtt_f(jnp.float32(w)))
-        rtt_w = min(time.perf_counter() - t1, 0.5 * dt)
+        rtt_probes.append(time.perf_counter() - t1)
+        # A single probe can itself land in a stall and over-subtract,
+        # inflating the window (and win_fps_best) past the physical
+        # ceiling — cap it at 2x the running median probe and at half
+        # the window.
+        rtt_w = min(rtt_probes[-1],
+                    2.0 * float(np.median(rtt_probes)), 0.5 * dt)
         win_fps.append(win_len / max(dt - rtt_w, 1e-6))
 
     return (float(np.median(win_fps)), win_fps, fl,
@@ -413,23 +421,11 @@ def main():
     frames_np = [render(0.08 * i)
                  for i in range(n_warm_max + n_windows * win_len_max)]
 
-    if os.environ.get("BENCH_PRESTAGE_POSES", "0") != "0":
-        # Experiment knob: pre-stage every pose array off the clock, so
-        # the measured loop issues ZERO per-frame pose device-puts —
-        # isolates what update()'s two small jnp.asarray uploads per
-        # frame cost through the tunnel (NOTES.md r5).
-        n_total = n_warm_max + n_windows * win_len_max
-        q0 = jax.device_put(se3.quat_identity())
-        t_all = [jax.device_put(jnp.array([0.08 * i, 0.0, 0.0]))
-                 for i in range(n_total)]
-        jax.block_until_ready(t_all)
-        np.asarray(t_all[-1][0])
-
-        def pose(i):
-            return (q0, t_all[i])
-    else:
-        def pose(i):
-            return (se3.quat_identity(), jnp.array([0.08 * i, 0.0, 0.0]))
+    # Poses are created per frame ON the clock, like a real frontend
+    # delivers them. (A pre-staged-poses A/B measured the per-frame pose
+    # device-puts as a weather-noise wash — NOTES.md r5, do not redo.)
+    def pose(i):
+        return (se3.quat_identity(), jnp.array([0.08 * i, 0.0, 0.0]))
 
     # Image ingestion. resident = device-resident frames staged off the
     # clock — the production analogue of a DMA/PCIe camera feed (~10 us
