@@ -437,7 +437,7 @@ def main():
     # frame: dispatch RPCs, packed feature transfers, topology uploads,
     # per-window drains. host_upload measures the full host-ingestion
     # path instead (images + topology coalesced, one transfer/batch).
-    mode_fps, mode_windows = {}, {}
+    mode_fps, mode_windows, mode_weather = {}, {}, {}
     headline = None
     for mi, mode in enumerate(modes):
         do_ba = mode == "resident_ba"
@@ -452,6 +452,13 @@ def main():
             mode != "host_upload", pose, n_warm, nw, win_len)
         mode_fps[mode] = round(fps, 2)
         mode_windows[mode] = nw
+        # The modes run SEQUENTIALLY, each hostage to its own slice of
+        # link weather (observed swings: resident_ba 36.7-133.4 across
+        # runs with identical code); a per-mode fetch EMA lets a reader
+        # tell mode cost from weather phase.
+        w = fl.stats.snapshot()["stats"].get("fetch_latency_ms")
+        if w is not None:
+            mode_weather[mode] = round(float(w), 1)
         if mi == 0:
             headline = (mode, fps, win_fps, fl, lat, params)
 
@@ -472,6 +479,7 @@ def main():
         "solver_iters_per_sec": round(iters_per_sec),
         "modes": mode_fps,
         "windows": mode_windows,
+        "mode_fetch_ms": mode_weather,
         "do_ba": mode == "resident_ba",
         # Quality + link-weather context ride the artifact: captured
         # medians through the shared dev tunnel swing 46-126 fps on
